@@ -1,0 +1,218 @@
+"""Fixed-shape gait mode schedules.
+
+TPU-native re-expression of OCS2 ``ModeSchedule`` + the reference's
+``GaitSchedule`` / ``ModeSequenceTemplate`` / ``LegLogic``
+(legged_interface/src/gait/GaitSchedule.cpp:46-161,
+ModeSequenceTemplate.cpp:49-130, LegLogic.cpp:131-424).
+
+A schedule is a pair of fixed-size arrays (padded with +inf event times), so
+every query (mode at time, per-leg contact flags, swing/stance windows) is a
+branch-free gather that jits and vmaps.  Mode numbers follow
+MotionPhaseDefinition.h:55-87:
+
+    FLY = 0, R = 1, L = 2, STANCE = 3
+
+and map to the 4 contact points [L_toe, R_toe, L_heel, R_heel]
+(contactNames3DoF order, ModelSettings.h:62-64).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+MAX_PHASES = 32  # fixed phase capacity of a schedule window
+NUM_FEET = 4
+
+FLY, R_MODE, L_MODE, STANCE = 0, 1, 2, 3
+
+# (4 modes, 4 feet) contact flag lookup (modeNumber2StanceLeg)
+MODE_CONTACTS = np.array(
+    [
+        [0.0, 0.0, 0.0, 0.0],  # FLY
+        [0.0, 1.0, 0.0, 1.0],  # R
+        [1.0, 0.0, 1.0, 0.0],  # L
+        [1.0, 1.0, 1.0, 1.0],  # STANCE
+    ]
+)
+
+BIG_TIME = 1e9
+
+
+class ModeSchedule(NamedTuple):
+    """event_times (MAX_PHASES,) padded with BIG_TIME; modes (MAX_PHASES+1,).
+
+    Phase p covers [event_times[p-1], event_times[p]) with mode modes[p];
+    phase 0 covers (-inf, event_times[0]).  Padding phases repeat the last
+    valid mode so queries beyond the window stay well-defined.
+    """
+
+    event_times: jnp.ndarray  # (MAX_PHASES,)
+    modes: jnp.ndarray        # (MAX_PHASES+1,) int32
+
+
+class GaitTemplate(NamedTuple):
+    """A periodic mode sequence template (ModeSequenceTemplate parity).
+
+    switching_times has n+1 entries for n modes, padded; duration is the
+    template period."""
+
+    switching_times: jnp.ndarray  # (T_MAX+1,)
+    modes: jnp.ndarray            # (T_MAX,) int32
+    n_modes: jnp.ndarray          # scalar int32
+    duration: jnp.ndarray         # scalar
+
+
+T_MAX = 8
+
+
+def make_template(mode_names, switching_times) -> GaitTemplate:
+    names = {"FLY": FLY, "R": R_MODE, "L": L_MODE, "STANCE": STANCE}
+    modes = [names[m] if isinstance(m, str) else int(m) for m in mode_names]
+    n = len(modes)
+    st = list(map(float, switching_times))
+    assert len(st) == n + 1
+    pad_m = modes + [modes[-1]] * (T_MAX - n)
+    pad_t = st + [st[-1]] * (T_MAX - n)
+    return GaitTemplate(
+        switching_times=jnp.asarray(pad_t),
+        modes=jnp.asarray(pad_m, dtype=jnp.int32),
+        n_modes=jnp.asarray(n, dtype=jnp.int32),
+        duration=jnp.asarray(st[-1] - st[0]),
+    )
+
+
+# the four named gaits of legged_controllers/config/hunter/gait.info
+STANCE_GAIT = lambda: make_template(["STANCE"], [0.0, 0.5])
+TROT_GAIT = lambda: make_template(["L", "R"], [0.0, 0.3, 0.6])
+STANDING_TROT_GAIT = lambda: make_template(
+    ["L", "STANCE", "R", "STANCE"], [0.0, 0.25, 0.3, 0.55, 0.6]
+)
+FLYING_TROT_GAIT = lambda: make_template(
+    ["L", "FLY", "R", "FLY"], [0.0, 0.15, 0.2, 0.35, 0.4]
+)
+
+
+def tile_template(template: GaitTemplate, start_time, final_time,
+                  lead_mode=STANCE, lead_until=None) -> ModeSchedule:
+    """Tile a periodic template over [start_time, final_time]
+    (GaitSchedule::tileModeSequenceTemplate:126-161 re-expressed fixed-shape).
+
+    Layout: event_times[k] = t0 + k-th template boundary; phase p covers
+    [event_times[p-1], event_times[p]) with mode modes[p].  modes[0] (before
+    t0) continues the template backwards — unless ``lead_until`` is given, in
+    which case everything before t0 = lead_until is ``lead_mode`` (the
+    phase-transition stance of insertModeSequenceTemplate,
+    GaitSchedule.cpp:57-89).
+    """
+    k = jnp.arange(MAX_PHASES)
+    n = template.n_modes
+    period = template.duration
+    cyc = k // n
+    idx = k - cyc * n  # k mod n without dynamic shapes
+    t0 = start_time if lead_until is None else lead_until
+    events = t0 + cyc * period + (template.switching_times[idx] - template.switching_times[0])
+
+    # modes[p] for p >= 1 is the template mode of the interval starting at
+    # event_times[p-1]
+    modes_body = template.modes[idx]
+    if lead_until is not None:
+        first_mode = jnp.asarray(lead_mode, dtype=jnp.int32)
+    else:
+        first_mode = template.modes[n - 1]  # backward continuation
+
+    # mask events beyond final horizon
+    valid = events <= final_time + 1e-9
+    events = jnp.where(valid, events, BIG_TIME)
+    modes = jnp.concatenate([first_mode[None], modes_body])
+    return ModeSchedule(event_times=events, modes=modes)
+
+
+def mode_at_time(schedule: ModeSchedule, t) -> jnp.ndarray:
+    """modeAtTime — phase lookup by searchsorted (branch-free)."""
+    p = jnp.searchsorted(schedule.event_times, t, side="right")
+    return schedule.modes[p]
+
+
+def contact_flags_at_time(schedule: ModeSchedule, t, dtype=jnp.float32) -> jnp.ndarray:
+    """(4,) contact flags at time t (SwitchedModelReferenceManager::getContactFlags)."""
+    mode = mode_at_time(schedule, t)
+    return jnp.asarray(MODE_CONTACTS, dtype=dtype)[mode]
+
+
+def contact_sequence(schedule: ModeSchedule, dtype=jnp.float32) -> jnp.ndarray:
+    """(4, MAX_PHASES+1) per-leg contact flag per phase (extractContactFlags)."""
+    return jnp.asarray(MODE_CONTACTS, dtype=dtype)[schedule.modes].T
+
+
+def phase_index_at_time(schedule: ModeSchedule, t) -> jnp.ndarray:
+    return jnp.searchsorted(schedule.event_times, t, side="right")
+
+
+def swing_windows(schedule: ModeSchedule, horizon_start, horizon_end):
+    """Per-leg, per-phase [start, stop] times of the contiguous contact/swing
+    window containing each phase (LegLogic extractContactTimings +
+    SwingTrajectoryPlanner::updateFootSchedule, fixed-shape).
+
+    Returns (start_times, stop_times, contact_seq):
+        start_times, stop_times: (4, MAX_PHASES+1)
+        contact_seq: (4, MAX_PHASES+1) 1.0 where leg in contact
+    Window boundaries clamp to [horizon_start, horizon_end] at the padded
+    edges of the schedule.
+    """
+    cs = contact_sequence(schedule)  # (4, P+1)
+    P1 = cs.shape[1]
+    # boundary time of phase p start: event_times[p-1] (phase 0 -> horizon_start)
+    starts_of_phase = jnp.concatenate(
+        [jnp.asarray(horizon_start)[None], schedule.event_times]
+    )  # (P+1,)
+    ends_of_phase = jnp.concatenate(
+        [schedule.event_times, jnp.asarray(BIG_TIME)[None]]
+    )  # (P+1,)
+    ends_of_phase = jnp.minimum(ends_of_phase, horizon_end)
+
+    # forward scan: window start time = phase start of the first phase of the
+    # contiguous equal-flag run containing p
+    def fwd(carry, inp):
+        prev_flag, prev_start = carry
+        flag, ph_start = inp
+        same = flag == prev_flag
+        start = jnp.where(same, prev_start, ph_start)
+        return (flag, start), start
+
+    def one_leg_fwd(flags):
+        init = (flags[0], jnp.asarray(horizon_start, dtype=starts_of_phase.dtype))
+        import jax
+
+        (_, _), starts = jax.lax.scan(fwd, init, (flags, starts_of_phase))
+        return starts
+
+    def bwd(carry, inp):
+        next_flag, next_stop = carry
+        flag, ph_end = inp
+        same = flag == next_flag
+        stop = jnp.where(same, next_stop, ph_end)
+        return (flag, stop), stop
+
+    def one_leg_bwd(flags):
+        import jax
+
+        init = (flags[-1], jnp.asarray(horizon_end, dtype=ends_of_phase.dtype))
+        (_, _), stops = jax.lax.scan(bwd, init, (flags, ends_of_phase), reverse=True)
+        return stops
+
+    import jax
+
+    start_times = jax.vmap(one_leg_fwd)(cs)
+    stop_times = jax.vmap(one_leg_bwd)(cs)
+    return start_times, stop_times, cs
+
+
+def swing_phase_fraction(schedule: ModeSchedule, leg, t, horizon_start, horizon_end):
+    """Fraction through the current swing/stance window, plus window bounds."""
+    starts, stops, cs = swing_windows(schedule, horizon_start, horizon_end)
+    p = phase_index_at_time(schedule, t)
+    s, e = starts[leg, p], stops[leg, p]
+    frac = jnp.clip((t - s) / jnp.maximum(e - s, 1e-6), 0.0, 1.0)
+    return frac, s, e, cs[leg, p]

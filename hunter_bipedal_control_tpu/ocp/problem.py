@@ -1,0 +1,289 @@
+"""The NMPC optimal-control problem: costs, soft constraints, equality
+constraints — fixed-shape, mask-activated, Gauss-Newton quadratics.
+
+Parity map (reference -> here):
+  - base tracking cost (LeggedRobotQuadraticTrackingCost.h:42-120, u_nom =
+    weight-compensating forces utils.h:73-93)      -> tracking terms
+  - friction cone soft constraint (FrictionConeConstraint.cpp:70-236 with
+    relaxed barrier mu=0.1 delta=5, task.info:255-262) -> cone rows
+  - xy swing soft constraint (XYReferenceConstraintCppAd + QuadraticPenalty
+    weight 20, LeggedRobotPreComputation.cpp:108-119)  -> xy rows
+  - joint pos/vel + force limit soft constraints
+    (LeggedInterface::getLimitConstraints :317-357)    -> limit rows
+  - zeroForce / zeroVelocity / normalVelocity equality constraints
+    (LeggedInterface.cpp:141-147, 433-446;
+     LeggedRobotPreComputation.cpp:96-107)             -> eq_constraints
+
+Mode-dependent structure ("hard parts", SURVEY.md §7.4) is realized as
+masked fixed-size rows: every knot always carries 16 equality rows and 36
+soft rows; contact flags toggle which rows are live.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.centroidal import (
+    contact_forces,
+    joint_velocities,
+    state_input_to_v,
+    state_to_q,
+)
+from ..models.kinematics import contact_jacobians, contact_positions, fk
+from ..models.robot import GRAVITY, RobotModel
+from . import penalties
+
+NUM_FEET = 4
+N_EQ_PER_FOOT = 4
+N_EQ = NUM_FEET * N_EQ_PER_FOOT  # 16
+
+
+class OcpParams(NamedTuple):
+    """All task.info-derived weights (defaults = hunter task.info)."""
+
+    Q: jnp.ndarray                 # (nx, nx)
+    R: jnp.ndarray                 # (nu, nu) joint-space mapped
+    friction_coeff: jnp.ndarray    # 0.7
+    cone_regularization: jnp.ndarray  # 25.0
+    cone_mu: jnp.ndarray           # 0.1
+    cone_delta: jnp.ndarray        # 5.0
+    swing_weight: jnp.ndarray      # 20.0
+    position_error_gain: jnp.ndarray  # 20 (normal vel constraint)
+    xy_position_gain: jnp.ndarray  # 3 (xy + zero-vel z gain)
+    stance_z_ref: jnp.ndarray      # 0.02 (zero velocity z target)
+    pos_limit_mu: jnp.ndarray
+    pos_limit_delta: jnp.ndarray
+    vel_limit_mu: jnp.ndarray
+    vel_limit_delta: jnp.ndarray
+    force_limit_mu: jnp.ndarray
+    force_limit_delta: jnp.ndarray
+    force_z_max: jnp.ndarray       # 350
+    joint_lower: jnp.ndarray       # (nj,)
+    joint_upper: jnp.ndarray
+    joint_vel_limit: jnp.ndarray
+
+
+def default_ocp_params(model: RobotModel, dtype=jnp.float32) -> OcpParams:
+    nj = model.nj
+    nx = 12 + nj
+    nu = 3 * NUM_FEET + nj
+    # Q diag per task.info:186-217
+    qdiag = np.concatenate(
+        [np.full(6, 13.0), [500.0, 500.0, 500.0, 100.0, 500.0, 500.0], np.full(nj, 10.0)]
+    )
+    Q = jnp.asarray(np.diag(qdiag), dtype)
+    R = jnp.asarray(np.diag(np.full(nu, 1e-3 * 5.0)), dtype)  # placeholder; see make_input_cost
+    return OcpParams(
+        Q=Q,
+        R=R,
+        friction_coeff=jnp.asarray(0.7, dtype),
+        cone_regularization=jnp.asarray(25.0, dtype),
+        cone_mu=jnp.asarray(0.1, dtype),
+        cone_delta=jnp.asarray(5.0, dtype),
+        swing_weight=jnp.asarray(20.0, dtype),
+        position_error_gain=jnp.asarray(20.0, dtype),
+        xy_position_gain=jnp.asarray(3.0, dtype),
+        stance_z_ref=jnp.asarray(0.02, dtype),
+        pos_limit_mu=jnp.asarray(1.0, dtype),
+        pos_limit_delta=jnp.asarray(0.1, dtype),
+        vel_limit_mu=jnp.asarray(1.0, dtype),
+        vel_limit_delta=jnp.asarray(0.1, dtype),
+        force_limit_mu=jnp.asarray(0.1, dtype),
+        force_limit_delta=jnp.asarray(1.0, dtype),
+        force_z_max=jnp.asarray(350.0, dtype),
+        joint_lower=model.joint_lower.astype(dtype),
+        joint_upper=model.joint_upper.astype(dtype),
+        joint_vel_limit=model.joint_vel_limit.astype(dtype),
+    )
+
+
+def make_input_cost(model: RobotModel, params: OcpParams, q_nominal: jnp.ndarray) -> OcpParams:
+    """initializeInputCostWeight (LeggedInterface.cpp:263-290): map the
+    task-space R (12 force + 12 foot-velocity-relative-to-base weights,
+    task.info:219-253) into joint space via the foot Jacobian at the nominal
+    configuration."""
+    dtype = params.Q.dtype
+    nj = model.nj
+    kin = fk(model, q_nominal)
+    J = contact_jacobians(model, kin)          # (4,6,nv)
+    # stack linear rows of the two *toe* frames' 6D jacobians as in the
+    # reference (numThreeDofContacts entries of 3 rows each)
+    base2feet = jnp.concatenate([J[i, 0:3, 6:] for i in range(NUM_FEET)], axis=0)  # (12, nj)
+    r_force = jnp.asarray(np.diag(np.full(12, 1e-3 * 5.0)), dtype)
+    r_eevel = jnp.asarray(np.diag(np.full(12, 1e-3 * 2000.0)), dtype)
+    r_joint = base2feet.T @ r_eevel @ base2feet
+    R = jnp.zeros((12 + nj, 12 + nj), dtype)
+    R = R.at[0:12, 0:12].set(r_force)
+    R = R.at[12:, 12:].set(r_joint)
+    return params._replace(R=R)
+
+
+def weight_compensating_input(model: RobotModel, contact_flags, nu, dtype):
+    """utils.h:73-93 — distribute m g over stance feet z-forces."""
+    n_stance = jnp.maximum(contact_flags.sum(), 1.0)
+    fz = model.total_mass * GRAVITY / n_stance
+    u = jnp.zeros(nu, dtype)
+    forces = jnp.zeros((NUM_FEET, 3), dtype).at[:, 2].set(fz * contact_flags)
+    return u.at[0 : 3 * NUM_FEET].set(forces.reshape(-1))
+
+
+# ---------------------------------------------------------------------------
+# equality constraints (projected in the solver)
+# ---------------------------------------------------------------------------
+
+def eq_constraints(model: RobotModel, params: OcpParams, x, u, contact_flags,
+                   foot_pos_ref, foot_vel_ref):
+    """(g (16,), mask (16,)) per-knot equality constraints.
+
+    Per foot i (4 rows):
+        rows 0:3  stance -> v_foot + [0,0,g_z*(p_z - z_ref)] = 0   (zeroVelocity)
+                  swing  -> f_i = 0                                 (zeroForce)
+        row  3    swing  -> v_z - vref_z + g_n*(p_z - pref_z) = 0   (normalVelocity)
+                  stance -> masked
+    """
+    nc, nj = NUM_FEET, model.nj
+    q = state_to_q(x)
+    v = state_input_to_v(model, x, u)
+    kin = fk(model, q)
+    p_c = contact_positions(model, kin)                       # (4,3)
+    J = contact_jacobians(model, kin)                         # (4,6,nv)
+    v_c = jnp.einsum("cij,j->ci", J[:, 0:3, :], v)            # (4,3)
+    f = contact_forces(u, nc)                                 # (4,3)
+
+    zero_vel = v_c + jnp.concatenate(
+        [jnp.zeros((nc, 2), x.dtype),
+         (params.xy_position_gain * (p_c[:, 2] - params.stance_z_ref))[:, None]],
+        axis=1,
+    )  # (4,3)
+    normal_vel = (
+        v_c[:, 2] - foot_vel_ref[:, 2]
+        + params.position_error_gain * (p_c[:, 2] - foot_pos_ref[:, 2])
+    )  # (4,)
+
+    flag = contact_flags[:, None]
+    rows03 = jnp.where(flag > 0.5, zero_vel, f)               # (4,3)
+    row3 = jnp.where(contact_flags > 0.5, 0.0, normal_vel)    # (4,)
+    g = jnp.concatenate([rows03, row3[:, None]], axis=1).reshape(-1)  # (16,)
+    mask = jnp.concatenate(
+        [jnp.ones((nc, 3), x.dtype), jnp.where(contact_flags > 0.5, 0.0, 1.0)[:, None]],
+        axis=1,
+    ).reshape(-1)
+    return g, mask
+
+
+# ---------------------------------------------------------------------------
+# soft constraint rows + penalties
+# ---------------------------------------------------------------------------
+
+def _soft_rows(model: RobotModel, params: OcpParams, x, u, foot_pos_ref, foot_vel_ref):
+    """All soft-constraint row values h (36,) for GGN."""
+    nc, nj = NUM_FEET, model.nj
+    f = contact_forces(u, nc)
+    cone = params.friction_coeff * f[:, 2] - jnp.sqrt(
+        f[:, 0] ** 2 + f[:, 1] ** 2 + params.cone_regularization
+    )  # (4,)
+
+    q = state_to_q(x)
+    v = state_input_to_v(model, x, u)
+    kin = fk(model, q)
+    p_c = contact_positions(model, kin)
+    J = contact_jacobians(model, kin)
+    v_c = jnp.einsum("cij,j->ci", J[:, 0:3, :], v)
+    xy = (
+        v_c[:, 0:2] - foot_vel_ref[:, 0:2]
+        + params.xy_position_gain * (p_c[:, 0:2] - foot_pos_ref[:, 0:2])
+    ).reshape(-1)  # (8,)
+
+    qj = x[12 : 12 + nj]
+    vj = joint_velocities(u, nj)
+    fz = f[:, 2]
+    return jnp.concatenate([cone, xy, qj, vj, fz])  # 4+8+nj+nj+4
+
+
+def _soft_penalty_terms(model, params: OcpParams, h, contact_flags):
+    """(p, dp, d2p, mask) for each soft row given row values h."""
+    nj = model.nj
+    i0, i1, i2, i3 = 4, 12, 12 + nj, 12 + 2 * nj
+
+    p_cone, d_cone, dd_cone = penalties.relaxed_barrier(
+        h[0:i0], params.cone_mu, params.cone_delta
+    )
+    p_xy, d_xy, dd_xy = penalties.quadratic(h[i0:i1], params.swing_weight)
+    p_pos, d_pos, dd_pos = penalties.double_sided_relaxed_barrier(
+        h[i1:i2], params.joint_lower, params.joint_upper,
+        params.pos_limit_mu, params.pos_limit_delta,
+    )
+    p_vel, d_vel, dd_vel = penalties.double_sided_relaxed_barrier(
+        h[i2:i3], -params.joint_vel_limit, params.joint_vel_limit,
+        params.vel_limit_mu, params.vel_limit_delta,
+    )
+    p_f, d_f, dd_f = penalties.double_sided_relaxed_barrier(
+        h[i3:], 0.0, params.force_z_max, params.force_limit_mu, params.force_limit_delta
+    )
+
+    p = jnp.concatenate([p_cone, p_xy, p_pos, p_vel, p_f])
+    dp = jnp.concatenate([d_cone, d_xy, d_pos, d_vel, d_f])
+    d2p = jnp.concatenate([dd_cone, dd_xy, dd_pos, dd_vel, dd_f])
+
+    swing = 1.0 - contact_flags
+    mask = jnp.concatenate(
+        [
+            contact_flags,                      # cone: stance only
+            jnp.repeat(swing, 2),               # xy: swing only
+            jnp.ones(2 * nj, h.dtype),          # limits always
+            jnp.ones(4, h.dtype),               # force z always
+        ]
+    )
+    return p, dp, d2p, mask
+
+
+# ---------------------------------------------------------------------------
+# stage cost: value + Gauss-Newton quadratic
+# ---------------------------------------------------------------------------
+
+def stage_cost_value(model: RobotModel, params: OcpParams, x, u, x_nom,
+                     contact_flags, foot_pos_ref, foot_vel_ref):
+    """Scalar stage cost (for line-search merit)."""
+    nu = u.shape[0]
+    u_nom = weight_compensating_input(model, contact_flags, nu, x.dtype)
+    dx = x - x_nom
+    du = u - u_nom
+    base = 0.5 * dx @ params.Q @ dx + 0.5 * du @ params.R @ du
+    h = _soft_rows(model, params, x, u, foot_pos_ref, foot_vel_ref)
+    p, _, _, mask = _soft_penalty_terms(model, params, h, contact_flags)
+    return base + jnp.sum(mask * p)
+
+
+def stage_quadratic(model: RobotModel, params: OcpParams, x, u, x_nom,
+                    contact_flags, foot_pos_ref, foot_vel_ref):
+    """Gauss-Newton quadratic model of the stage cost:
+        (cost, qx, qu, Qxx, Quu, Qux)
+    Penalty Hessians use p'' J^T J (PSD; OCS2's Gauss-Newton choice)."""
+    nx, nu = x.shape[0], u.shape[0]
+    u_nom = weight_compensating_input(model, contact_flags, nu, x.dtype)
+    dx = x - x_nom
+    du = u - u_nom
+
+    h, pullback = jax.vjp(
+        lambda x_, u_: _soft_rows(model, params, x_, u_, foot_pos_ref, foot_vel_ref), x, u
+    )
+    # full row jacobian via jacfwd (fixed small sizes; fuses well)
+    Jx, Ju = jax.jacfwd(
+        lambda x_, u_: _soft_rows(model, params, x_, u_, foot_pos_ref, foot_vel_ref),
+        argnums=(0, 1),
+    )(x, u)
+
+    p, dp, d2p, mask = _soft_penalty_terms(model, params, h, contact_flags)
+    w1 = mask * dp
+    w2 = mask * d2p
+
+    cost = 0.5 * dx @ params.Q @ dx + 0.5 * du @ params.R @ du + jnp.sum(mask * p)
+    qx = params.Q @ dx + Jx.T @ w1
+    qu = params.R @ du + Ju.T @ w1
+    Qxx = params.Q + jnp.einsum("ri,r,rj->ij", Jx, w2, Jx)
+    Quu = params.R + jnp.einsum("ri,r,rj->ij", Ju, w2, Ju)
+    Qux = jnp.einsum("ri,r,rj->ij", Ju, w2, Jx)
+    return cost, qx, qu, Qxx, Quu, Qux

@@ -1,0 +1,110 @@
+"""Target trajectories (fixed-size pytree) + command shaping.
+
+Parity targets:
+  - OCS2 ``TargetTrajectories`` with linear interpolation (getDesiredState)
+  - legged_controllers/src/TargetTrajectoriesPublisher.cpp:29-177 —
+    cmd_vel -> 2-point target trajectory, slew-rate limiting, deadband,
+    pose-goal targets.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..models.spatial import rotation_zyx
+
+T_NODES = 8  # fixed node capacity
+
+
+class TargetTrajectories(NamedTuple):
+    times: jnp.ndarray   # (T,)
+    states: jnp.ndarray  # (T, nx)
+    inputs: jnp.ndarray  # (T, nu)
+
+
+def interp_state(tt: TargetTrajectories, t) -> jnp.ndarray:
+    return _interp(tt.times, tt.states, t)
+
+
+def interp_input(tt: TargetTrajectories, t) -> jnp.ndarray:
+    return _interp(tt.times, tt.inputs, t)
+
+
+def _interp(times, vals, t):
+    n = times.shape[0]
+    i = jnp.clip(jnp.searchsorted(times, t, side="right") - 1, 0, n - 2)
+    t0, t1 = times[i], times[i + 1]
+    w = jnp.clip((t - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0, 1.0)
+    return (1.0 - w) * vals[i] + w * vals[i + 1]
+
+
+class CmdVelConfig(NamedTuple):
+    """reference.info values + publisher-side shaping constants."""
+
+    com_height: jnp.ndarray          # 0.63
+    default_joints: jnp.ndarray      # (nj,)
+    target_displacement_velocity: jnp.ndarray
+    target_rotation_velocity: jnp.ndarray
+    change_limit: jnp.ndarray        # slew rate per tick (TargetTrajectoriesPublisher.h:97)
+    deadband: jnp.ndarray            # |v| below this zeroed (.cpp:109-112)
+
+
+def default_cmd_vel_config(nj=10, dtype=jnp.float32) -> CmdVelConfig:
+    dj = jnp.asarray(
+        [0.10, 0.00, 0.40, 0.93, 0.53, -0.10, 0.00, -0.40, 0.93, -0.53], dtype=dtype
+    )
+    return CmdVelConfig(
+        com_height=jnp.asarray(0.63, dtype),
+        default_joints=dj,
+        target_displacement_velocity=jnp.asarray(0.5, dtype),
+        target_rotation_velocity=jnp.asarray(1.57, dtype),
+        change_limit=jnp.asarray(0.05, dtype),
+        deadband=jnp.asarray(0.05, dtype),
+    )
+
+
+def filter_cmd_vel(cmd_vel, last_cmd_vel, cfg: CmdVelConfig):
+    """Slew-rate limit + deadband (TargetTrajectoriesPublisher cmdVelCallback)."""
+    delta = jnp.clip(cmd_vel - last_cmd_vel, -cfg.change_limit, cfg.change_limit)
+    out = last_cmd_vel + delta
+    out = jnp.where(jnp.abs(out) < cfg.deadband, 0.0, out)
+    return out
+
+
+def cmd_vel_to_target(cmd_vel, observation_state, t_now, horizon,
+                      cfg: CmdVelConfig, nu=22) -> TargetTrajectories:
+    """cmdVelToTargetTrajectories (.cpp:102-130): rotate the planar command
+    into world, integrate one horizon ahead, and emit a 2-point trajectory
+    (padded to T_NODES).  cmd_vel = (vx, vy, vz, yaw_rate) in base frame."""
+    zyx = observation_state[9:12]
+    R = rotation_zyx(zyx)
+    v_world = R @ cmd_vel[0:3]
+
+    current_pose = observation_state[6:12]
+    target_pose = jnp.array(
+        [
+            current_pose[0] + horizon * v_world[0],
+            current_pose[1] + horizon * v_world[1],
+            cfg.com_height,
+            current_pose[3] + horizon * cmd_vel[3],
+            0.0,
+            0.0,
+        ],
+        dtype=observation_state.dtype,
+    )
+
+    nx = observation_state.shape[0]
+    s0 = jnp.zeros(nx, observation_state.dtype)
+    s0 = s0.at[0:3].set(v_world)
+    s0 = s0.at[3].set(cmd_vel[3])  # normalized yaw momentum placeholder (ref sets vcom + yaw rate)
+    s0 = s0.at[6:12].set(jnp.concatenate([current_pose[0:2], cfg.com_height[None],
+                                          jnp.array([current_pose[3], 0.0, 0.0])]))
+    s0 = s0.at[12:].set(cfg.default_joints)
+    s1 = s0.at[6:12].set(target_pose)
+
+    times = jnp.full((T_NODES,), t_now + horizon, observation_state.dtype)
+    times = times.at[0].set(t_now)
+    states = jnp.tile(s1[None], (T_NODES, 1)).at[0].set(s0)
+    inputs = jnp.zeros((T_NODES, nu), observation_state.dtype)
+    return TargetTrajectories(times=times, states=states, inputs=inputs)

@@ -1,0 +1,287 @@
+"""Multiple-shooting SQP over the centroidal OCP — the TPU-native engine
+replacing OCS2's SqpSolver + HPIPM (reference configuration
+task.info:79-96: dt 0.015, 1 iteration, RK2 sensitivity integrator,
+projectStateInputEqualityConstraints=true, relaxed-barrier inequalities).
+
+Design (SURVEY.md §2.3 "SqpMpc" row):
+  - per-knot linearization of dynamics/cost/constraints via jax.jacfwd,
+    vmapped across the horizon (the reference uses 4 CPU threads; here one
+    fused batched kernel),
+  - state-input equality constraints eliminated by a fixed-shape *projection*
+    (masked pseudo-inverse + null-space projector, instead of OCS2's
+    variable-size QR basis — see §7.4 of SURVEY.md),
+  - LQ subproblem solved by a Riccati backward pass under lax.scan,
+  - parallel-evaluated line search (all step sizes tried in one vmap, OCS2's
+    FilterLinesearch acceptance logic).
+
+Everything is fixed-shape: one jit compiles the entire solve; vmap over the
+leading axis batches thousands of scenarios onto the MXU.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.centroidal import flow_map
+from ..models.robot import RobotModel
+from ..ocp import problem as ocp
+
+# ---------------------------------------------------------------------------
+# settings / containers
+# ---------------------------------------------------------------------------
+
+
+class SqpSettings(NamedTuple):
+    """Static solver configuration (sqp block of task.info)."""
+
+    n_intervals: int = 53          # ~0.8 s / 0.015
+    horizon: float = 0.8
+    n_iterations: int = 1
+    proj_reg: float = 1e-8         # projection pseudo-inverse regularization
+    hess_reg: float = 1e-6         # Levenberg shift on Quu
+    g_max: float = 1e-2
+    g_min: float = 1e-6
+    alphas: tuple = (1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125)
+    armijo_factor: float = 1e-4
+
+
+class ReferenceBundle(NamedTuple):
+    """Per-knot reference data prepared outside the solver (N+1 knots)."""
+
+    times: jnp.ndarray          # (N+1,)
+    x_nom: jnp.ndarray          # (N+1, nx)
+    contact_flags: jnp.ndarray  # (N+1, 4)
+    foot_pos_ref: jnp.ndarray   # (N+1, 4, 3)
+    foot_vel_ref: jnp.ndarray   # (N+1, 4, 3)
+
+
+class SqpSolution(NamedTuple):
+    times: jnp.ndarray     # (N+1,)
+    states: jnp.ndarray    # (N+1, nx)
+    inputs: jnp.ndarray    # (N+1, nu)  (last row repeats N-1)
+    cost: jnp.ndarray      # scalar
+    constraint_violation: jnp.ndarray  # scalar (defect + eq residual 1-norm)
+    step_size: jnp.ndarray  # accepted alpha of last iteration
+
+
+# ---------------------------------------------------------------------------
+# discretization
+# ---------------------------------------------------------------------------
+
+
+def rk2_step(model: RobotModel, x, u, dt):
+    """Explicit trapezoidal RK2 (OCS2 SensitivityIntegratorType::RK2)."""
+    k1 = flow_map(model, x, u)
+    k2 = flow_map(model, x + dt * k1, u)
+    return x + 0.5 * dt * (k1 + k2)
+
+
+# ---------------------------------------------------------------------------
+# solver
+# ---------------------------------------------------------------------------
+
+
+def initializer_trajectories(model: RobotModel, settings: SqpSettings, refs: ReferenceBundle,
+                             x_init):
+    """LeggedRobotInitializer parity (:49-80): carry the measured state
+    forward, weight-compensating inputs from the contact schedule."""
+    N = settings.n_intervals
+    nx = x_init.shape[0]
+    nu = 12 + model.nj
+    xs = jnp.tile(x_init[None], (N + 1, 1))
+    us = jax.vmap(
+        lambda flags: ocp.weight_compensating_input(model, flags, nu, x_init.dtype)
+    )(refs.contact_flags)
+    return xs, us
+
+
+def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
+          refs: ReferenceBundle, x_init, xs_ws, us_ws):
+    """One MPC solve: `n_iterations` SQP iterations from the warm start.
+    Pure function — jit a closure over (model, settings) at the call site,
+    vmap over a leading batch axis for scenario sweeps."""
+    N = settings.n_intervals
+    dt = settings.horizon / N
+    nx = xs_ws.shape[1]
+    nu = us_ws.shape[1]
+
+    def knot_linearization(x, u, x_nom, flags, fpr, fvr):
+        """All per-knot LQ data (cost GGN + dynamics + projected constraints)."""
+        # dynamics linearization (RK2 sensitivities by AD)
+        xnext = rk2_step(model, x, u, dt)
+        A = jax.jacfwd(lambda x_: rk2_step(model, x_, u, dt))(x)
+        B = jax.jacfwd(lambda u_: rk2_step(model, x, u_, dt))(u)
+
+        # cost quadratic (scaled by dt: multiple-shooting integral)
+        cost, qx, qu, Qxx, Quu, Qux = ocp.stage_quadratic(
+            model, params, x, u, x_nom, flags, fpr, fvr
+        )
+        cost, qx, qu, Qxx, Quu, Qux = jax.tree.map(
+            lambda a: dt * a, (cost, qx, qu, Qxx, Quu, Qux)
+        )
+
+        # equality constraints + projection data
+        g, mask = ocp.eq_constraints(model, params, x, u, flags, fpr, fvr)
+        C = jax.jacfwd(
+            lambda x_: ocp.eq_constraints(model, params, x_, u, flags, fpr, fvr)[0]
+        )(x)
+        D = jax.jacfwd(
+            lambda u_: ocp.eq_constraints(model, params, x, u_, flags, fpr, fvr)[0]
+        )(u)
+        g = g * mask
+        C = C * mask[:, None]
+        D = D * mask[:, None]
+        return xnext, A, B, cost, qx, qu, Qxx, Quu, Qux, g, C, D
+
+    def eval_merit(xs, us):
+        """(total cost, constraint 1-norm metric) of a trajectory."""
+        def stage(k):
+            return ocp.stage_cost_value(
+                model, params, xs[k], us[k], refs.x_nom[k], refs.contact_flags[k],
+                refs.foot_pos_ref[k], refs.foot_vel_ref[k],
+            )
+
+        costs = jax.vmap(stage)(jnp.arange(N))
+        xnext = jax.vmap(lambda k: rk2_step(model, xs[k], us[k], dt))(jnp.arange(N))
+        defects = xs[1:] - xnext
+        eqs = jax.vmap(
+            lambda k: ocp.eq_constraints(
+                model, params, xs[k], us[k], refs.contact_flags[k],
+                refs.foot_pos_ref[k], refs.foot_vel_ref[k],
+            )
+        )(jnp.arange(N))
+        eq_res = eqs[0] * eqs[1]
+        g_metric = jnp.abs(defects).sum() / N + jnp.abs(eq_res).sum() / N
+        return dt * costs.sum(), g_metric
+
+    def sqp_iteration(carry, _):
+        xs, us = carry
+        ks = jnp.arange(N)
+        (xnext, A, B, cost_k, qx, qu, Qxx, Quu, Qux, g, C, D) = jax.vmap(
+            lambda k: knot_linearization(
+                xs[k], us[k], refs.x_nom[k], refs.contact_flags[k],
+                refs.foot_pos_ref[k], refs.foot_vel_ref[k],
+            )
+        )(ks)
+        defects = xnext - xs[1:]  # d_k = Phi(x_k,u_k) - x_{k+1}
+
+        # ---- constraint projection (fixed shape) ----
+        eye_u = jnp.eye(nu, dtype=xs.dtype)
+
+        def project(A_, B_, d_, qx_, qu_, Qxx_, Quu_, Qux_, g_, C_, D_):
+            DDt = D_ @ D_.T + settings.proj_reg * jnp.eye(D_.shape[0], dtype=D_.dtype)
+            Dpinv = D_.T @ jnp.linalg.inv(DDt)          # (nu, m)
+            P = eye_u - Dpinv @ D_                       # null-space projector
+            E = -Dpinv @ C_                              # du = e + E dx + P w
+            e = -Dpinv @ g_
+
+            Qe = Quu_ @ e + qu_
+            qx_t = qx_ + E.T @ Qe + Qux_.T @ e
+            qw = P @ Qe
+            Qxx_t = Qxx_ + E.T @ Quu_ @ E + E.T @ Qux_ + Qux_.T @ E
+            Qww = P @ Quu_ @ P
+            sigma = 1.0 + jnp.trace(Quu_) / nu
+            Qww = Qww + sigma * (eye_u - P) + settings.hess_reg * eye_u
+            Qwx = P @ (Quu_ @ E + Qux_)
+            A_t = A_ + B_ @ E
+            B_t = B_ @ P
+            d_t = d_ + B_ @ e
+            return A_t, B_t, d_t, qx_t, qw, Qxx_t, Qww, Qwx, E, e, P
+
+        (A_t, B_t, d_t, qx_t, qw, Qxx_t, Qww, Qwx, E, e0, P) = jax.vmap(project)(
+            A, B, defects, qx, qu, Qxx, Quu, Qux, g, C, D
+        )
+
+        # ---- Riccati backward pass (sequential scan over the horizon) ----
+        def backward(carry, inp):
+            S, s = carry  # value function 0.5 x'Sx + s'x
+            A_, B_, d_, qx_, qw_, Qxx_, Qww_, Qwx_ = inp
+            Sd = s + S @ d_
+            Huu = Qww_ + B_.T @ S @ B_
+            Hux = Qwx_ + B_.T @ S @ A_
+            hu = qw_ + B_.T @ Sd
+            # solve via Cholesky with Levenberg fallback handled by hess_reg
+            L = jnp.linalg.cholesky(Huu)
+            K = -jax.scipy.linalg.cho_solve((L, True), Hux)
+            kff = -jax.scipy.linalg.cho_solve((L, True), hu)
+            S_new = Qxx_ + A_.T @ S @ A_ + Hux.T @ K
+            S_new = 0.5 * (S_new + S_new.T)
+            s_new = qx_ + A_.T @ Sd + Hux.T @ kff
+            return (S_new, s_new), (K, kff)
+
+        S_term = jnp.zeros((nx, nx), xs.dtype)  # no terminal cost (ref parity)
+        s_term = jnp.zeros(nx, xs.dtype)
+        (_, _), (Ks, kffs) = jax.lax.scan(
+            backward,
+            (S_term, s_term),
+            (A_t, B_t, d_t, qx_t, qw, Qxx_t, Qww, Qwx),
+            reverse=True,
+        )
+
+        # ---- forward sweep: linear rollout of deltas ----
+        def forward(dx, inp):
+            A_, B_, d_, K, kff, E, e_, P_ = inp
+            w = K @ dx + kff
+            du = e_ + E @ dx + P_ @ w
+            dx_next = A_ @ dx + B_ @ w + d_
+            return dx_next, (dx, du)
+
+        dx0 = x_init - xs[0]
+        dx_last, (dxs, dus) = jax.lax.scan(
+            forward, dx0, (A_t, B_t, d_t, Ks, kffs, E, e0, P)
+        )
+        dxs_full = jnp.concatenate([dxs, dx_last[None]], axis=0)  # (N+1, nx)
+
+        # ---- line search: evaluate all alphas in parallel ----
+        cost0, g0 = eval_merit(xs, us)
+        alphas = jnp.asarray(settings.alphas, xs.dtype)
+
+        def candidate(alpha):
+            xs_a = xs + alpha * dxs_full
+            us_a = us + alpha * dus
+            c, g = eval_merit(xs_a, us_a)
+            return c, g
+
+        cands = jax.vmap(candidate)(alphas)
+        cost_a, g_a = cands
+
+        # FilterLinesearch acceptance (OCS2 sqp logic):
+        #   high violation  -> must reduce violation
+        #   low violation   -> armijo cost decrease
+        #   medium          -> either
+        finite = jnp.isfinite(cost_a) & jnp.isfinite(g_a)
+        reduce_g = g_a < (1.0 - 1e-3) * g0
+        armijo = cost_a < cost0 - settings.armijo_factor * alphas * jnp.abs(cost0)
+        accept_high = reduce_g
+        accept_low = armijo
+        accept_mid = reduce_g | (cost_a < cost0)
+        accept = jnp.where(
+            g0 > settings.g_max, accept_high,
+            jnp.where(g0 < settings.g_min, accept_low, accept_mid),
+        )
+        accept = accept & finite
+        # pick the largest accepted alpha; fall back to the smallest alpha
+        idx = jnp.argmax(accept)  # first True in order (alphas descending)
+        any_ok = jnp.any(accept)
+        alpha = jnp.where(any_ok, alphas[idx], alphas[-1])
+
+        xs_new = xs + alpha * dxs_full
+        us_new = us + alpha * dus
+        return (xs_new, us_new), alpha
+
+    (xs_fin, us_fin), alphas_hist = jax.lax.scan(
+        sqp_iteration, (xs_ws, us_ws), None, length=settings.n_iterations
+    )
+    cost_fin, g_fin = eval_merit(xs_fin, us_fin)
+
+    inputs_full = jnp.concatenate([us_fin, us_fin[-1:]], axis=0)
+    return SqpSolution(
+        times=refs.times,
+        states=xs_fin,
+        inputs=inputs_full,
+        cost=cost_fin,
+        constraint_violation=g_fin,
+        step_size=alphas_hist[-1],
+    )
