@@ -67,7 +67,7 @@ class GaitTemplate(NamedTuple):
 T_MAX = 8
 
 
-def make_template(mode_names, switching_times) -> GaitTemplate:
+def make_template(mode_names, switching_times, dtype=jnp.float32) -> GaitTemplate:
     names = {"FLY": FLY, "R": R_MODE, "L": L_MODE, "STANCE": STANCE}
     modes = [names[m] if isinstance(m, str) else int(m) for m in mode_names]
     n = len(modes)
@@ -76,10 +76,10 @@ def make_template(mode_names, switching_times) -> GaitTemplate:
     pad_m = modes + [modes[-1]] * (T_MAX - n)
     pad_t = st + [st[-1]] * (T_MAX - n)
     return GaitTemplate(
-        switching_times=jnp.asarray(pad_t),
+        switching_times=jnp.asarray(pad_t, dtype),
         modes=jnp.asarray(pad_m, dtype=jnp.int32),
         n_modes=jnp.asarray(n, dtype=jnp.int32),
-        duration=jnp.asarray(st[-1] - st[0]),
+        duration=jnp.asarray(st[-1] - st[0], dtype),
     )
 
 

@@ -141,7 +141,9 @@ def contact_jacobians(model: RobotModel, kin: KinData) -> jnp.ndarray:
 
 def base_jacobian(model: RobotModel, kin: KinData) -> jnp.ndarray:
     """(6, nv) frame Jacobian of the base link (WbcBase.cpp:112-116)."""
-    J = _point_jacobians(model, kin, kin.p[0:1], jnp.array([0]))
+    import numpy as np
+
+    J = _point_jacobians(model, kin, kin.p[0:1], np.array([0]))
     return J[0]
 
 

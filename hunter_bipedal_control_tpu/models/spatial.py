@@ -107,7 +107,7 @@ def axis_angle_rotation(axis, angle):
     """Rodrigues rotation about a (unit) axis."""
     c, s = jnp.cos(angle), jnp.sin(angle)
     K = skew(axis)
-    return jnp.eye(3) + s * K + (1.0 - c) * (K @ K)
+    return jnp.eye(3, dtype=K.dtype) + s * K + (1.0 - c) * (K @ K)
 
 
 def quat_to_zyx(quat_xyzw):

@@ -1,0 +1,109 @@
+"""Batched dense convex QP solver (primal-dual interior point).
+
+TPU-native replacement for qpOASES' active-set solver used by the WBC
+(legged_wbc/src/WeightedWbc.cpp:44-55, HoQp.cpp:170-186).  Active-set
+methods are branchy and sequential; an interior-point method with a FIXED
+iteration count is branch-free, fixed-shape, and batches perfectly under
+vmap — thousands of 38-var WBC QPs become one batched dense factorization
+stream on the MXU.
+
+Problem form:
+    min 0.5 x'Hx + g'x   s.t.  Aeq x = beq,   Ain x <= bin
+
+Masked rows are supported: a zero row with bin=BIG (inequality) or
+beq=0 (equality; plus the dual regularization below) is inert.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QpSolution(NamedTuple):
+    x: jnp.ndarray
+    eq_dual: jnp.ndarray
+    ineq_dual: jnp.ndarray
+    iterations: jnp.ndarray
+    primal_residual: jnp.ndarray
+
+
+def solve_qp(H, g, Aeq, beq, Ain, bin, n_iters: int = 18, eq_reg: float = 1e-8,
+             frac_to_boundary: float = 0.99, mu_min: float | None = None):
+    """Mehrotra-free path-following PDIP with fixed iteration count.
+
+    All shapes static: H (n,n), Aeq (me,n), Ain (mi,n).  Returns QpSolution.
+    Designed to run under vmap (no data-dependent control flow).
+
+    ``mu_min`` floors the barrier parameter so the complementarity scaling
+    stays representable — essential in f32, where driving mu below ~1e-6
+    corrupts the Newton system (lam/s overflows against rounding noise).
+    """
+    n = H.shape[0]
+    me = Aeq.shape[0]
+    mi = Ain.shape[0]
+    dtype = H.dtype
+    if mu_min is None:
+        mu_min = float(jnp.finfo(dtype).eps) * 50.0
+
+    # initial point: x=0, slacks from residuals (clamped), duals 1
+    x = jnp.zeros(n, dtype)
+    s = jnp.maximum(bin - Ain @ x, 1.0)
+    lam = jnp.ones(mi, dtype)
+    nu_eq = jnp.zeros(me, dtype)
+
+    eye_e = jnp.eye(me, dtype=dtype)
+
+    def kkt_solve(x, s, lam, nu_eq, sigma_mu):
+        """One Newton step on the perturbed KKT system, eliminating (s, lam)."""
+        # residuals
+        r_dual = H @ x + g + Aeq.T @ nu_eq + Ain.T @ lam
+        r_eq = Aeq @ x - beq
+        r_ineq = Ain @ x + s - bin
+        # complementarity target
+        r_cent = lam * s - sigma_mu
+
+        # eliminate (ds, dlam):  ds = -r_ineq - Ain dx,
+        #   dlam = ((lam r_ineq - r_cent) + lam Ain dx)/s
+        s_safe = jnp.maximum(s, 1e-12)
+        w = lam / s_safe
+        Hbar = H + Ain.T @ (w[:, None] * Ain)
+        rbar = r_dual + Ain.T @ ((lam * r_ineq - r_cent) / s_safe)
+
+        # KKT with equality duals (regularized to tolerate masked zero rows)
+        K = jnp.block([[Hbar, Aeq.T], [Aeq, -eq_reg * eye_e]])
+        rhs = jnp.concatenate([-rbar, -r_eq])
+        sol = jnp.linalg.solve(K, rhs)
+        dx = sol[:n]
+        dnu = sol[n:]
+        ds = -r_ineq - Ain @ dx
+        dlam = -(r_cent + lam * ds) / jnp.maximum(s, 1e-12)
+        return dx, ds, dlam, dnu
+
+    def body(carry, _):
+        x, s, lam, nu_eq, it = carry
+        mu = jnp.dot(s, lam) / mi
+        sigma = 0.2
+        dx, ds, dlam, dnu = kkt_solve(x, s, lam, nu_eq, jnp.maximum(sigma * mu, mu_min))
+
+        # fraction-to-boundary step length (vector-safe, branch-free)
+        neg_s = jnp.where(ds < 0, -frac_to_boundary * s / jnp.minimum(ds, -1e-12), 1.0)
+        neg_l = jnp.where(dlam < 0, -frac_to_boundary * lam / jnp.minimum(dlam, -1e-12), 1.0)
+        alpha = jnp.minimum(1.0, jnp.minimum(neg_s.min(), neg_l.min()))
+
+        x = x + alpha * dx
+        s = jnp.maximum(s + alpha * ds, 1e-12)
+        lam = jnp.maximum(lam + alpha * dlam, 1e-12)
+        nu_eq = nu_eq + alpha * dnu
+        return (x, s, lam, nu_eq, it + 1), None
+
+    (x, s, lam, nu_eq, its), _ = jax.lax.scan(
+        body, (x, s, lam, nu_eq, jnp.asarray(0, jnp.int32)), None, length=n_iters
+    )
+    primal_res = jnp.maximum(
+        jnp.abs(Aeq @ x - beq).max() if me > 0 else 0.0,
+        jnp.maximum(Ain @ x - bin, 0.0).max() if mi > 0 else 0.0,
+    )
+    return QpSolution(x=x, eq_dual=nu_eq, ineq_dual=lam, iterations=its,
+                      primal_residual=primal_res)

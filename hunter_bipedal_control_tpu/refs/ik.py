@@ -141,7 +141,7 @@ def compute_ik(model: RobotModel, q_init: jnp.ndarray, des_pos: jnp.ndarray,
     angles for both legs (computeIK parity, both legs fused)."""
     q = translation_ik(model, q_init, des_pos)
     q = rotation_ik(model, q, R_des)
-    return q[6:]
+    return q[6:].astype(q_init.dtype)
 
 
 def differential_ik(model: RobotModel, q: jnp.ndarray, foot_vel: jnp.ndarray):

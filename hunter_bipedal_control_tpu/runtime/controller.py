@@ -1,0 +1,144 @@
+"""The 500 Hz control tick: policy evaluation -> WBC -> hybrid joint command.
+
+Parity target: LeggedController::update (legged_controllers/src/
+LeggedController.cpp:137-278) — stance override before walking, WBC update,
+desired pos/vel forward-integration with the WBC joint accelerations,
+per-joint-group gain scheduling (cfg/Tutorials.cfg defaults), position-limit
+emergency stop, and the hybrid joint command 5-tuple
+(HybridJointInterface.h:77-84).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..gait.mode_schedule import MODE_CONTACTS, ModeSchedule, mode_at_time
+from ..models.robot import RobotModel
+from ..solver.mpc import evaluate_policy
+from ..solver.sqp import SqpSolution
+from ..wbc.wbc import WbcParams, WbcState, wbc_update
+
+NJ = 10
+
+
+class GainConfig(NamedTuple):
+    """cfg/Tutorials.cfg defaults + joint grouping of LeggedController."""
+
+    kp_position: jnp.ndarray    # 10 (pre-load standing)
+    kd_position: jnp.ndarray    # 3
+    kp_big_stance: jnp.ndarray  # 40
+    kp_big_swing: jnp.ndarray   # 30
+    kd_big: jnp.ndarray         # 2
+    kp_small_stance: jnp.ndarray  # 30
+    kp_small_swing: jnp.ndarray   # 20
+    kd_small: jnp.ndarray       # 2
+    kd_feet: jnp.ndarray        # 0.01
+
+
+def default_gains(dtype=jnp.float32) -> GainConfig:
+    return GainConfig(
+        kp_position=jnp.asarray(10.0, dtype),
+        kd_position=jnp.asarray(3.0, dtype),
+        kp_big_stance=jnp.asarray(40.0, dtype),
+        kp_big_swing=jnp.asarray(30.0, dtype),
+        kd_big=jnp.asarray(2.0, dtype),
+        kp_small_stance=jnp.asarray(30.0, dtype),
+        kp_small_swing=jnp.asarray(20.0, dtype),
+        kd_small=jnp.asarray(2.0, dtype),
+        kd_feet=jnp.asarray(0.01, dtype),
+    )
+
+
+class JointCommand(NamedTuple):
+    """The hybrid joint 5-tuple (pos, vel, kp, kd, feedforward)."""
+
+    pos_des: jnp.ndarray  # (10,)
+    vel_des: jnp.ndarray
+    kp: jnp.ndarray
+    kd: jnp.ndarray
+    tau_ff: jnp.ndarray
+
+
+class TickOutput(NamedTuple):
+    command: JointCommand
+    optimized_state: jnp.ndarray
+    optimized_input: jnp.ndarray
+    wbc_solution: jnp.ndarray
+    emergency_stop: jnp.ndarray
+
+
+# joint grouping: hips roll/yaw (0,1,5,6) small; knees etc (2,3,7,8) big;
+# ankles (4,9) small kp + kd_feet (LeggedController.cpp:226-243)
+_SMALL = jnp.asarray([1.0, 1.0, 0, 0, 0, 1.0, 1.0, 0, 0, 0])
+_BIG = jnp.asarray([0, 0, 1.0, 1.0, 0, 0, 0, 1.0, 1.0, 0])
+_FEET = jnp.asarray([0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0])
+
+
+def control_tick(model: RobotModel, wbc_params: WbcParams, gains: GainConfig,
+                 wbc_state: WbcState, policy: SqpSolution, schedule: ModeSchedule,
+                 t, x_est, rbd_measured, default_joints, set_walk,
+                 emergency_stop, loop_dt):
+    """One 500 Hz controller update.  Returns (TickOutput, new WbcState)."""
+    dtype = x_est.dtype
+    x_opt, u_opt = evaluate_policy(policy, t)
+    mode = mode_at_time(schedule, t)
+    contact_flags = jnp.asarray(MODE_CONTACTS, dtype)[mode]
+
+    # stance override until /set_walk (LeggedController.cpp:161-173)
+    x_stance = jnp.zeros_like(x_opt).at[6:12].set(x_est[6:12]).at[12:].set(default_joints)
+    x_opt = jnp.where(set_walk, x_opt, x_stance)
+    u_opt = jnp.where(set_walk, u_opt, jnp.zeros_like(u_opt))
+    contact_flags = jnp.where(set_walk, contact_flags, jnp.ones_like(contact_flags))
+    stance_mode = ~set_walk
+
+    wbc_x, wbc_state = wbc_update(
+        model, wbc_params, wbc_state, x_opt, u_opt, rbd_measured,
+        contact_flags, stance_mode,
+    )
+    tau_wbc = wbc_x[16 + 12:]
+    joint_acc = wbc_x[6:16]
+
+    pos_des = x_opt[12:22] + 0.5 * joint_acc * loop_dt * loop_dt
+    vel_des = u_opt[12:22] + joint_acc * loop_dt
+
+    # per-leg stance flag: toe contact of leg j//5 (LeggedController.cpp:224-229)
+    leg_stance = jnp.concatenate(
+        [jnp.repeat(contact_flags[0], 5), jnp.repeat(contact_flags[1], 5)]
+    )
+    kp = (
+        _SMALL * jnp.where(leg_stance > 0.5, gains.kp_small_stance, gains.kp_small_swing)
+        + _BIG * jnp.where(leg_stance > 0.5, gains.kp_big_stance, gains.kp_big_swing)
+        + _FEET * jnp.where(leg_stance > 0.5, gains.kp_small_stance, gains.kp_small_swing)
+    )
+    kd = _SMALL * gains.kd_small + _BIG * gains.kd_big + _FEET * gains.kd_feet
+
+    # position-limit trip (±0.02 rad beyond URDF limits, :196-209)
+    jpos_meas = rbd_measured[6:16]
+    tripped = jnp.any(
+        (jpos_meas > model.joint_upper + 0.02) | (jpos_meas < model.joint_lower - 0.02)
+    )
+    emergency_stop = emergency_stop | tripped
+
+    cmd = JointCommand(pos_des=pos_des, vel_des=vel_des, kp=kp, kd=kd, tau_ff=tau_wbc)
+    # e-stop: damping-only command (:245-248)
+    cmd = jax.tree.map(
+        lambda on, off: jnp.where(emergency_stop, off, on),
+        cmd,
+        JointCommand(
+            pos_des=jnp.zeros(NJ, dtype),
+            vel_des=jnp.zeros(NJ, dtype),
+            kp=jnp.zeros(NJ, dtype),
+            kd=jnp.ones(NJ, dtype),
+            tau_ff=jnp.zeros(NJ, dtype),
+        ),
+    )
+    out = TickOutput(
+        command=cmd,
+        optimized_state=x_opt,
+        optimized_input=u_opt,
+        wbc_solution=wbc_x,
+        emergency_stop=emergency_stop,
+    )
+    return out, wbc_state

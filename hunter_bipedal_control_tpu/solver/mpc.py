@@ -61,7 +61,7 @@ def _joint_reference(model: RobotModel, target: tg.TargetTrajectories,
     on the planned foot positions.  Sequential over samples (previous
     sample's joints warm-start the next IK)."""
     nj = model.nj
-    Ts = jnp.linspace(init_time, final_time, n_samples)
+    Ts = jnp.linspace(init_time, final_time, n_samples).astype(target.times.dtype)
     states = jax.vmap(lambda t: tg.interp_state(target, t))(Ts)
     inputs = jax.vmap(lambda t: tg.interp_input(target, t))(Ts)
 

@@ -39,7 +39,7 @@ class SqpSettings(NamedTuple):
     n_intervals: int = 53          # ~0.8 s / 0.015
     horizon: float = 0.8
     n_iterations: int = 1
-    proj_reg: float = 1e-8         # projection pseudo-inverse regularization
+    proj_reg: float = 1e-6         # projection pseudo-inverse regularization
     hess_reg: float = 1e-6         # Levenberg shift on Quu
     g_max: float = 1e-2
     g_min: float = 1e-6
@@ -93,7 +93,7 @@ def initializer_trajectories(model: RobotModel, settings: SqpSettings, refs: Ref
     xs = jnp.tile(x_init[None], (N + 1, 1))
     us = jax.vmap(
         lambda flags: ocp.weight_compensating_input(model, flags, nu, x_init.dtype)
-    )(refs.contact_flags)
+    )(refs.contact_flags[:N])
     return xs, us
 
 
@@ -133,7 +133,7 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
         g = g * mask
         C = C * mask[:, None]
         D = D * mask[:, None]
-        return xnext, A, B, cost, qx, qu, Qxx, Quu, Qux, g, C, D
+        return xnext, A, B, cost, qx, qu, Qxx, Quu, Qux, g, C, D, mask
 
     def eval_merit(xs, us):
         """(total cost, constraint 1-norm metric) of a trajectory."""
@@ -159,7 +159,7 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
     def sqp_iteration(carry, _):
         xs, us = carry
         ks = jnp.arange(N)
-        (xnext, A, B, cost_k, qx, qu, Qxx, Quu, Qux, g, C, D) = jax.vmap(
+        (xnext, A, B, cost_k, qx, qu, Qxx, Quu, Qux, g, C, D, gmask) = jax.vmap(
             lambda k: knot_linearization(
                 xs[k], us[k], refs.x_nom[k], refs.contact_flags[k],
                 refs.foot_pos_ref[k], refs.foot_vel_ref[k],
@@ -170,8 +170,15 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
         # ---- constraint projection (fixed shape) ----
         eye_u = jnp.eye(nu, dtype=xs.dtype)
 
-        def project(A_, B_, d_, qx_, qu_, Qxx_, Quu_, Qux_, g_, C_, D_):
-            DDt = D_ @ D_.T + settings.proj_reg * jnp.eye(D_.shape[0], dtype=D_.dtype)
+        def project(A_, B_, d_, qx_, qu_, Qxx_, Quu_, Qux_, g_, C_, D_, mask_):
+            # masked (inactive) rows carry a unit diagonal so the 16x16
+            # inverse stays O(1)-conditioned in f32; live rows get a small
+            # Tikhonov regularizer
+            DDt = (
+                D_ @ D_.T
+                + jnp.diag(1.0 - mask_)
+                + settings.proj_reg * jnp.eye(D_.shape[0], dtype=D_.dtype)
+            )
             Dpinv = D_.T @ jnp.linalg.inv(DDt)          # (nu, m)
             P = eye_u - Dpinv @ D_                       # null-space projector
             E = -Dpinv @ C_                              # du = e + E dx + P w
@@ -191,7 +198,7 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
             return A_t, B_t, d_t, qx_t, qw, Qxx_t, Qww, Qwx, E, e, P
 
         (A_t, B_t, d_t, qx_t, qw, Qxx_t, Qww, Qwx, E, e0, P) = jax.vmap(project)(
-            A, B, defects, qx, qu, Qxx, Quu, Qux, g, C, D
+            A, B, defects, qx, qu, Qxx, Quu, Qux, g, C, D, gmask
         )
 
         # ---- Riccati backward pass (sequential scan over the horizon) ----
@@ -200,12 +207,14 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
             A_, B_, d_, qx_, qw_, Qxx_, Qww_, Qwx_ = inp
             Sd = s + S @ d_
             Huu = Qww_ + B_.T @ S @ B_
+            # scale-relative Levenberg shift: keeps the f32 factorization well
+            # conditioned when dt*R directions (~1e-4) meet B'SB (~1e3)
+            shift = settings.hess_reg * (1.0 + jnp.trace(Huu) / nu)
+            Huu = Huu + shift * jnp.eye(nu, dtype=xs.dtype)
             Hux = Qwx_ + B_.T @ S @ A_
             hu = qw_ + B_.T @ Sd
-            # solve via Cholesky with Levenberg fallback handled by hess_reg
-            L = jnp.linalg.cholesky(Huu)
-            K = -jax.scipy.linalg.cho_solve((L, True), Hux)
-            kff = -jax.scipy.linalg.cho_solve((L, True), hu)
+            Kk = -jnp.linalg.solve(Huu, jnp.concatenate([Hux, hu[:, None]], axis=1))
+            K, kff = Kk[:, :nx], Kk[:, nx]
             S_new = Qxx_ + A_.T @ S @ A_ + Hux.T @ K
             S_new = 0.5 * (S_new + S_new.T)
             s_new = qx_ + A_.T @ Sd + Hux.T @ kff
@@ -262,10 +271,13 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
             jnp.where(g0 < settings.g_min, accept_low, accept_mid),
         )
         accept = accept & finite
-        # pick the largest accepted alpha; fall back to the smallest alpha
+        # pick the largest accepted alpha; fall back to the smallest *finite*
+        # alpha, and to a zero step if every candidate diverged (keeps the
+        # previous solution — WeightedWbc-style last-solution fallback)
         idx = jnp.argmax(accept)  # first True in order (alphas descending)
         any_ok = jnp.any(accept)
-        alpha = jnp.where(any_ok, alphas[idx], alphas[-1])
+        smallest_finite = jnp.where(jnp.any(finite), alphas[-1] * finite[-1], 0.0)
+        alpha = jnp.where(any_ok, alphas[idx], smallest_finite)
 
         xs_new = xs + alpha * dxs_full
         us_new = us + alpha * dus

@@ -1,0 +1,117 @@
+"""Gait schedule, swing planner, target and IK tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hunter_bipedal_control_tpu.gait import adaptive
+from hunter_bipedal_control_tpu.gait import mode_schedule as ms
+from hunter_bipedal_control_tpu.refs import ik, splines, swing_planner as swp, targets as tg
+
+
+def test_trot_tiling():
+    sched = ms.tile_template(ms.TROT_GAIT(), 0.0, 2.4)
+    # [0,0.3) = L, [0.3,0.6) = R, alternating (gait.info trot block)
+    assert int(ms.mode_at_time(sched, 0.1)) == ms.L_MODE
+    assert int(ms.mode_at_time(sched, 0.4)) == ms.R_MODE
+    assert int(ms.mode_at_time(sched, 0.7)) == ms.L_MODE
+    np.testing.assert_allclose(
+        np.asarray(ms.contact_flags_at_time(sched, 0.1)), [1, 0, 1, 0]
+    )
+
+
+def test_flying_trot_modes():
+    f = ms.tile_template(ms.FLYING_TROT_GAIT(), 0.0, 1.0)
+    seq = [int(ms.mode_at_time(f, t)) for t in [0.05, 0.17, 0.25, 0.37, 0.45]]
+    assert seq == [ms.L_MODE, ms.FLY, ms.R_MODE, ms.FLY, ms.L_MODE]
+
+
+def test_insert_template_preserves_past():
+    sched = ms.tile_template(ms.STANCE_GAIT(), -0.8, 2.4)
+    new = adaptive.insert_template(sched, ms.TROT_GAIT(), 0.5, 3.0)
+    # before insert: stance; after stance bridge: trot
+    assert int(ms.mode_at_time(new, 0.3)) == ms.STANCE
+    assert int(ms.mode_at_time(new, 0.55)) == ms.STANCE  # bridge
+    assert int(ms.mode_at_time(new, 0.65)) == ms.L_MODE
+    assert int(ms.mode_at_time(new, 0.95)) == ms.R_MODE
+
+
+def test_swing_windows_trot():
+    sched = ms.tile_template(ms.TROT_GAIT(), 0.0, 2.4)
+    starts, stops, cs = ms.swing_windows(sched, -0.8, 2.4)
+    # leg 1 (R toe) swings during L phases: [0, 0.3), stance [0.3, 0.6) ...
+    p = ms.phase_index_at_time(sched, 0.1)
+    assert float(cs[1, p]) == 0.0
+    np.testing.assert_allclose(float(starts[1, p]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(float(stops[1, p]), 0.3, atol=1e-6)
+
+
+def test_cubic_spline_endpoints():
+    sp = splines.PiecewiseCubic(
+        times=jnp.array([0.0, 0.5, 1.0, 1.0]),
+        pos=jnp.array([0.0, 0.8, 0.2, 0.2]),
+        vel=jnp.array([0.0, 0.1, 0.0, 0.0]),
+    )
+    p0, v0, _ = splines.eval_piecewise(sp, 0.0)
+    p1, v1, _ = splines.eval_piecewise(sp, 1.0)
+    pm, vm, _ = splines.eval_piecewise(sp, 0.5)
+    np.testing.assert_allclose(float(p0), 0.0, atol=1e-7)
+    np.testing.assert_allclose(float(p1), 0.2, atol=1e-6)
+    np.testing.assert_allclose(float(pm), 0.8, atol=1e-6)
+    np.testing.assert_allclose(float(vm), 0.1, atol=1e-6)
+
+
+def test_swing_trajectory_shape(hunter_model_f32):
+    """Swing foot lifts to ~swingHeight and lands at the Raibert target."""
+    m = hunter_model_f32
+    cfg = swp.default_swing_config()
+    st = swp.init_planner_state()
+    # tile from 0.0 so leg 1's swing window is exactly [0, 0.3)
+    sched = ms.tile_template(ms.TROT_GAIT(), 0.0, 2.4)
+    dj = jnp.array([0.10, 0., 0.40, 0.93, 0.53, -0.10, 0., -0.40, 0.93, -0.53])
+    x0 = jnp.concatenate([jnp.zeros(6), jnp.array([0., 0., 0.63]), jnp.zeros(3), dj])
+    target = tg.cmd_vel_to_target(jnp.zeros(4), x0, 0.0, 0.8, tg.default_cmd_vel_config())
+    feet = jnp.zeros((4, 3)).at[:, 2].set(0.02)
+    refs, _ = swp.update_planner(cfg, st, sched, target, 0.0, 0.8,
+                                 jnp.zeros(6), feet)
+    # leg 1 swings in [0, 0.3): max z near 0.02 + swingHeight
+    zs = [float(swp.foot_reference(refs, 1, t)[0][2]) for t in np.linspace(0.01, 0.29, 20)]
+    assert max(zs) > 0.04 and max(zs) < 0.09
+    # touchdown back at next_position_z
+    np.testing.assert_allclose(
+        float(swp.foot_reference(refs, 1, 0.299)[0][2]), 0.02, atol=0.01
+    )
+
+
+def test_cmd_vel_filter_slew_and_deadband():
+    cfg = tg.default_cmd_vel_config()
+    out = tg.filter_cmd_vel(jnp.array([1.0, 0, 0, 0]), jnp.zeros(4), cfg)
+    np.testing.assert_allclose(float(out[0]), 0.05, atol=1e-7)  # slew limit
+    out2 = tg.filter_cmd_vel(jnp.array([0.04, 0, 0, 0]), jnp.zeros(4), cfg)
+    np.testing.assert_allclose(float(out2[0]), 0.0)  # deadband
+
+
+def test_ik_roundtrip(hunter_model_f32):
+    m = hunter_model_f32
+    dj = jnp.array([0.10, 0., 0.40, 0.93, 0.53, -0.10, 0., -0.40, 0.93, -0.53])
+    q = jnp.concatenate([jnp.array([0., 0., 0.63]), jnp.zeros(3), dj], dtype=jnp.float32)
+    des = ik.foot_positions(m, q)
+    rng = np.random.default_rng(3)
+    q0 = q.at[6:].add(jnp.asarray(0.15 * rng.uniform(-1, 1, 10), jnp.float32))
+    qj = ik.compute_ik(m, q0, des, jnp.eye(3))
+    rec = ik.foot_positions(m, q.at[6:].set(qj))
+    assert float(jnp.abs(rec - des).max()) < 2e-3
+
+
+def test_velocity_adaptive_switching():
+    st = adaptive.init_gait_run_state()
+    # feed high velocity -> switches to trot
+    target_state = jnp.zeros(22).at[0].set(0.3)
+    for _ in range(5):
+        st2, vel_avg = adaptive.vel_abs_update(st, jnp.array([0.3, 0, 0, 0]), target_state)
+        st = st2
+    assert float(vel_avg) > 0.03
+    st = adaptive.walk_gait_switch(st, vel_avg, 0.5, 5.0)
+    assert int(st.gait_level) == 1
+    # mode after switch time is trot-like (L or R within a period)
+    modes = {int(ms.mode_at_time(st.schedule, t)) for t in np.linspace(0.8, 1.4, 13)}
+    assert ms.L_MODE in modes and ms.R_MODE in modes

@@ -1,0 +1,166 @@
+"""SQP solver, QP solver, WBC and estimator tests (f32 product path)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hunter_bipedal_control_tpu.gait import mode_schedule as ms
+from hunter_bipedal_control_tpu.ocp import penalties, problem as ocp
+from hunter_bipedal_control_tpu.ops.qp import solve_qp
+from hunter_bipedal_control_tpu.refs import swing_planner as swp, targets as tg
+from hunter_bipedal_control_tpu.solver import mpc as mpc_mod, sqp
+from hunter_bipedal_control_tpu.wbc import wbc as wbc_mod
+from hunter_bipedal_control_tpu.estim import kalman
+
+DJ = jnp.array([0.10, 0., 0.40, 0.93, 0.53, -0.10, 0., -0.40, 0.93, -0.53],
+               dtype=jnp.float32)
+
+
+F32 = jnp.float32
+
+
+@pytest.fixture(scope="module")
+def setup(hunter_model_f32):
+    m = hunter_model_f32
+    settings = sqp.SqpSettings()
+    qnom = jnp.concatenate([jnp.array([0., 0., 0.63], F32), jnp.zeros(3, F32), DJ])
+    params = ocp.make_input_cost(m, ocp.default_ocp_params(m), qnom)
+    return m, settings, params, qnom
+
+
+def test_penalties():
+    # relaxed barrier: smooth at the switch, convex
+    for h in [0.05, 0.1, 0.2, 5.0]:
+        p, dp, d2p = penalties.relaxed_barrier(jnp.asarray(h), 0.1, 0.1)
+        eps = 1e-4
+        p1, _, _ = penalties.relaxed_barrier(jnp.asarray(h + eps), 0.1, 0.1)
+        p0, _, _ = penalties.relaxed_barrier(jnp.asarray(h - eps), 0.1, 0.1)
+        np.testing.assert_allclose(float((p1 - p0) / (2 * eps)), float(dp), rtol=1e-2)
+        assert float(d2p) > 0
+
+
+def test_qp_kkt():
+    rng = np.random.default_rng(0)
+    n, me, mi = 38, 16, 40
+    A = rng.standard_normal((n, n))
+    H = jnp.asarray(A @ A.T + n * np.eye(n), jnp.float32)
+    g = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    Aeq = jnp.asarray(rng.standard_normal((me, n)), jnp.float32)
+    beq = jnp.asarray(rng.standard_normal(me), jnp.float32)
+    Ain = jnp.asarray(rng.standard_normal((mi, n)), jnp.float32)
+    bin_ = jnp.asarray(rng.standard_normal(mi) + 2.0, jnp.float32)
+    sol = solve_qp(H, g, Aeq, beq, Ain, bin_, n_iters=20)
+    x = np.asarray(sol.x, np.float64)
+    assert np.abs(np.asarray(Aeq) @ x - np.asarray(beq)).max() < 1e-4
+    assert np.maximum(np.asarray(Ain) @ x - np.asarray(bin_), 0).max() < 1e-4
+    r = (np.asarray(H, np.float64) @ x + np.asarray(g)
+         + np.asarray(Aeq, np.float64).T @ np.asarray(sol.eq_dual, np.float64)
+         + np.asarray(Ain, np.float64).T @ np.asarray(sol.ineq_dual, np.float64))
+    assert np.abs(r).max() < 1e-3
+
+
+def _stance_bundle(m, settings, params, qnom):
+    x0 = jnp.concatenate([jnp.zeros(6, F32), qnom])
+    sched = ms.tile_template(ms.STANCE_GAIT(), -0.8, 2.4)
+    target = tg.cmd_vel_to_target(jnp.zeros(4, F32), x0, 0.0, 0.8,
+                                  tg.default_cmd_vel_config())
+    state = mpc_mod.init_mpc_state(m, settings)
+    bundle, _, _, _ = mpc_mod.prepare_references(
+        m, settings, swp.default_swing_config(), state.planner, sched, target,
+        0.0, x0, jnp.zeros(6, F32), DJ)
+    return x0, bundle
+
+
+def test_sqp_stance_converges(setup):
+    """Warm-started re-solves drive constraint violation to ~0 with full
+    steps, forces sum to the robot weight (KKT-residual assert analog)."""
+    m, settings, params, qnom = setup
+    x0, bundle = _stance_bundle(m, settings, params, qnom)
+    xs, us = sqp.initializer_trajectories(m, settings, bundle, x0)
+    sol = sqp.solve(m, settings, params, bundle, x0, xs, us)
+    for _ in range(2):
+        sol = sqp.solve(m, settings, params, bundle, x0, sol.states, sol.inputs[:-1])
+    assert float(sol.constraint_violation) < 1e-3
+    assert float(sol.step_size) >= 0.5
+    fz = np.asarray(sol.inputs[0, 2:12:3])
+    np.testing.assert_allclose(fz.sum(), 12.5869 * 9.81, rtol=0.05)
+    # base stays near the commanded height over the horizon
+    assert float(jnp.abs(sol.states[:, 8] - 0.63).max()) < 0.03
+
+
+def test_sqp_batch_vmap(setup):
+    """Scenario batching: vmapped solves must match per-scenario solves."""
+    m, settings, params, qnom = setup
+    x0, bundle = _stance_bundle(m, settings, params, qnom)
+    xs, us = sqp.initializer_trajectories(m, settings, bundle, x0)
+    B = 3
+    x0s = jnp.tile(x0[None], (B, 1)).at[:, 8].add(jnp.array([0.0, 0.01, -0.01]))
+    bsolve = jax.vmap(lambda xi: sqp.solve(m, settings, params, bundle, xi, xs, us))
+    sols = bsolve(x0s)
+    s0 = sqp.solve(m, settings, params, bundle, x0s[1], xs, us)
+    np.testing.assert_allclose(
+        np.asarray(sols.states[1]), np.asarray(s0.states), atol=1e-5
+    )
+
+
+def test_wbc_eom_and_cone(setup):
+    """WBC solution satisfies the EoM equality and friction pyramid."""
+    m, settings, params, qnom = setup
+    from hunter_bipedal_control_tpu.models.centroidal import q_v_to_rbd_state
+    from hunter_bipedal_control_tpu.models.dynamics import mass_matrix, nle
+
+    x_des = jnp.concatenate([jnp.zeros(6, F32), qnom])
+    u_des = ocp.weight_compensating_input(m, jnp.ones(4, F32), 22, F32)
+    rbd = q_v_to_rbd_state(m, qnom, jnp.zeros(16, F32))
+    wp = wbc_mod.default_wbc_params()
+    ws = wbc_mod.init_wbc_state()
+    x, ws = wbc_mod.wbc_update(m, wp, ws, x_des, u_des, rbd,
+                               jnp.ones(4, F32), jnp.asarray(False))
+    a, f, tau = x[0:16], x[16:28], x[28:38]
+    M = mass_matrix(m, qnom)
+    h = nle(m, qnom, jnp.zeros(16, F32))
+    from hunter_bipedal_control_tpu.models.kinematics import contact_jacobians, fk
+    J = contact_jacobians(m, fk(m, qnom))[:, 0:3, :].reshape(12, 16)
+    S = jnp.zeros((10, 16), F32).at[:, 6:].set(jnp.eye(10, dtype=F32))
+    res = M @ a + h - J.T @ f - S.T @ tau
+    assert float(jnp.abs(res).max()) < 5e-2, "EoM violated"
+    fz = f.reshape(4, 3)[:, 2]
+    assert float(fz.min()) > -1e-3, "negative normal force"
+    np.testing.assert_allclose(float(fz.sum()), 12.5869 * 9.81, rtol=0.05)
+    ft = jnp.abs(f.reshape(4, 3)[:, 0:2]).max(axis=1)
+    assert bool(jnp.all(ft <= 0.7 * fz + 1e-3)), "friction pyramid violated"
+    assert float(jnp.abs(tau).max()) <= 60.0 + 1e-3
+
+
+def test_wbc_stance_mode(setup):
+    m, settings, params, qnom = setup
+    from hunter_bipedal_control_tpu.models.centroidal import q_v_to_rbd_state
+
+    x_des = jnp.concatenate([jnp.zeros(6, F32), qnom])
+    u_des = jnp.zeros(22, F32)
+    rbd = q_v_to_rbd_state(m, qnom, jnp.zeros(16, F32))
+    wp = wbc_mod.default_wbc_params()
+    ws = wbc_mod.init_wbc_state()
+    x, _ = wbc_mod.wbc_update(m, wp, ws, x_des, u_des, rbd,
+                              jnp.ones(4, F32), jnp.asarray(True))
+    # stance task: base acceleration ~ 0
+    assert float(jnp.abs(x[0:6]).max()) < 0.5
+
+
+def test_kalman_static_convergence(setup):
+    """Standing still with correct kinematics: estimated velocity -> 0,
+    height -> consistent with foot radius."""
+    m, settings, params, qnom = setup
+    kp = kalman.default_kalman_params()
+    ks = kalman.init_kalman_state()
+    zyx = jnp.zeros(3, F32)
+    quat = jnp.array([0., 0., 0., 1.], F32)
+    accel_local = jnp.array([0., 0., 9.81], F32)
+    step = jax.jit(lambda ks: kalman.kalman_update(
+        m, kp, ks, zyx, DJ, jnp.zeros(10, F32), jnp.zeros(3, F32), quat,
+        accel_local, jnp.ones(4, F32), 0.002))
+    for _ in range(200):
+        ks, pos, vel = step(ks)
+    assert float(jnp.abs(vel).max()) < 1e-2
+    # base height ~ 0.63 + footRadius - foot z at default pose (~0.001)
+    assert abs(float(pos[2]) - 0.65) < 0.03
