@@ -71,9 +71,11 @@ class TickOutput(NamedTuple):
 
 # joint grouping: hips roll/yaw (0,1,5,6) small; knees etc (2,3,7,8) big;
 # ankles (4,9) small kp + kd_feet (LeggedController.cpp:226-243)
-_SMALL = jnp.asarray([1.0, 1.0, 0, 0, 0, 1.0, 1.0, 0, 0, 0])
-_BIG = jnp.asarray([0, 0, 1.0, 1.0, 0, 0, 0, 1.0, 1.0, 0])
-_FEET = jnp.asarray([0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0])
+import numpy as _np
+
+_SMALL = _np.asarray([1.0, 1.0, 0, 0, 0, 1.0, 1.0, 0, 0, 0], _np.float32)
+_BIG = _np.asarray([0, 0, 1.0, 1.0, 0, 0, 0, 1.0, 1.0, 0], _np.float32)
+_FEET = _np.asarray([0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0], _np.float32)
 
 
 def control_tick(model: RobotModel, wbc_params: WbcParams, gains: GainConfig,
