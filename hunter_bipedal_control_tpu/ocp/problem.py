@@ -262,20 +262,20 @@ def stage_quadratic(model: RobotModel, params: OcpParams, x, u, x_nom,
     """Gauss-Newton quadratic model of the stage cost:
         (cost, qx, qu, Qxx, Quu, Qux)
     Penalty Hessians use p'' J^T J (PSD; OCS2's Gauss-Newton choice)."""
-    nx, nu = x.shape[0], u.shape[0]
-    u_nom = weight_compensating_input(model, contact_flags, nu, x.dtype)
-    dx = x - x_nom
-    du = u - u_nom
-
-    h, pullback = jax.vjp(
-        lambda x_, u_: _soft_rows(model, params, x_, u_, foot_pos_ref, foot_vel_ref), x, u
-    )
-    # full row jacobian via jacfwd (fixed small sizes; fuses well)
+    h = _soft_rows(model, params, x, u, foot_pos_ref, foot_vel_ref)
     Jx, Ju = jax.jacfwd(
         lambda x_, u_: _soft_rows(model, params, x_, u_, foot_pos_ref, foot_vel_ref),
         argnums=(0, 1),
     )(x, u)
+    return _assemble_quadratic(model, params, x, u, x_nom, contact_flags, h, Jx, Ju)
 
+
+def _assemble_quadratic(model, params: OcpParams, x, u, x_nom, contact_flags,
+                        h, Jx, Ju):
+    nu = u.shape[0]
+    u_nom = weight_compensating_input(model, contact_flags, nu, x.dtype)
+    dx = x - x_nom
+    du = u - u_nom
     p, dp, d2p, mask = _soft_penalty_terms(model, params, h, contact_flags)
     w1 = mask * dp
     w2 = mask * d2p
@@ -287,3 +287,121 @@ def stage_quadratic(model: RobotModel, params: OcpParams, x, u, x_nom,
     Quu = params.R + jnp.einsum("ri,r,rj->ij", Ju, w2, Ju)
     Qux = jnp.einsum("ri,r,rj->ij", Ju, w2, Jx)
     return cost, qx, qu, Qxx, Quu, Qux
+
+
+# ---------------------------------------------------------------------------
+# fused per-knot evaluation: flow map + equality rows + soft rows share one
+# FK/CMM graph and are differentiated in a single jacfwd pass (the hot path
+# of the SQP linearization)
+# ---------------------------------------------------------------------------
+
+N_SOFT = None  # computed per model in combined_rows
+
+
+def combined_rows(model: RobotModel, params: OcpParams, x, u, contact_flags,
+                  foot_pos_ref, foot_vel_ref):
+    """(flow (nx,), g_eq (16,) masked, eq_mask (16,), soft_h (4+8+2nj+4,))
+    with all kinematic subexpressions shared."""
+    from ..models.centroidal import (
+        base_velocity_from_momentum,
+        com_position,
+    )
+
+    nc, nj = NUM_FEET, model.nj
+    q = state_to_q(x)
+    kin = fk(model, q)
+    forces = contact_forces(u, nc)
+    vj = joint_velocities(u, nj)
+    p_com = com_position(model, kin)
+    p_c = contact_positions(model, kin)
+    J = contact_jacobians(model, kin)
+
+    vb = base_velocity_from_momentum(model, kin, x[0:6], vj)
+    v = jnp.concatenate([vb, vj])
+    v_c = jnp.einsum("cij,j->ci", J[:, 0:3, :], v)
+
+    # flow map
+    m = model.total_mass
+    hdot_lin = forces.sum(0) / m + jnp.array([0.0, 0.0, -GRAVITY], dtype=x.dtype)
+    hdot_ang = jnp.cross(p_c - p_com[None, :], forces).sum(0) / m
+    flow = jnp.concatenate([hdot_lin, hdot_ang, vb, vj])
+
+    # equality rows (see eq_constraints)
+    zero_vel = v_c + jnp.concatenate(
+        [jnp.zeros((nc, 2), x.dtype),
+         (params.xy_position_gain * (p_c[:, 2] - params.stance_z_ref))[:, None]],
+        axis=1,
+    )
+    normal_vel = (
+        v_c[:, 2] - foot_vel_ref[:, 2]
+        + params.position_error_gain * (p_c[:, 2] - foot_pos_ref[:, 2])
+    )
+    flag = contact_flags[:, None]
+    rows03 = jnp.where(flag > 0.5, zero_vel, forces)
+    row3 = jnp.where(contact_flags > 0.5, 0.0, normal_vel)
+    g = jnp.concatenate([rows03, row3[:, None]], axis=1).reshape(-1)
+    eq_mask = jnp.concatenate(
+        [jnp.ones((nc, 3), x.dtype), jnp.where(contact_flags > 0.5, 0.0, 1.0)[:, None]],
+        axis=1,
+    ).reshape(-1)
+
+    # soft rows (see _soft_rows)
+    cone = params.friction_coeff * forces[:, 2] - jnp.sqrt(
+        forces[:, 0] ** 2 + forces[:, 1] ** 2 + params.cone_regularization
+    )
+    xy = (
+        v_c[:, 0:2] - foot_vel_ref[:, 0:2]
+        + params.xy_position_gain * (p_c[:, 0:2] - foot_pos_ref[:, 0:2])
+    ).reshape(-1)
+    soft = jnp.concatenate([cone, xy, x[12:12 + nj], vj, forces[:, 2]])
+    return flow, g * eq_mask, eq_mask, soft
+
+
+def knot_linearization_fused(model: RobotModel, params: OcpParams, x, u, x_nom,
+                             contact_flags, foot_pos_ref, foot_vel_ref, dt):
+    """Everything the SQP needs at one knot, with ONE forward-mode jacobian
+    pass through the shared kinematics graph:
+      xnext (exact RK2 primal), A, B (2nd-order-in-dt sensitivities),
+      cost GGN quadratic, projected-constraint data (g, C, D, mask).
+
+    The RK2 sensitivity uses the frozen-Jacobian expansion
+        A = I + dt Jx + dt^2/2 Jx^2,  B = dt Ju + dt^2/2 Jx Ju
+    which matches the exact RK2 derivative to O(dt^2 ||dJ/dx||) — an inexact
+    Newton step; the line-search merit uses the exact nonlinear defects, so
+    convergence is preserved (standard multiple-shooting practice)."""
+    nx = x.shape[0]
+    nu = u.shape[0]
+
+    def rows_fn(xu):
+        flow, g, _, soft = combined_rows(
+            model, params, xu[:nx], xu[nx:], contact_flags, foot_pos_ref, foot_vel_ref
+        )
+        return jnp.concatenate([flow, g, soft])
+
+    xu = jnp.concatenate([x, u])
+    flow0, g0, eq_mask, soft0 = combined_rows(
+        model, params, x, u, contact_flags, foot_pos_ref, foot_vel_ref
+    )
+    Jall = jax.jacfwd(rows_fn)(xu)   # (nx+16+ns, nx+nu)
+    Jflow = Jall[:nx]
+    Jeq = Jall[nx:nx + N_EQ]
+    Jsoft = Jall[nx + N_EQ:]
+
+    Jx_f, Ju_f = Jflow[:, :nx], Jflow[:, nx:]
+    A = (jnp.eye(nx, dtype=x.dtype) + dt * Jx_f
+         + (0.5 * dt * dt) * (Jx_f @ Jx_f))
+    B = dt * Ju_f + (0.5 * dt * dt) * (Jx_f @ Ju_f)
+
+    # exact RK2 primal for the defect
+    k1 = flow0
+    from ..models.centroidal import flow_map as _fm
+    k2 = _fm(model, x + dt * k1, u)
+    xnext = x + 0.5 * dt * (k1 + k2)
+
+    cost, qx, qu, Qxx, Quu, Qux = _assemble_quadratic(
+        model, params, x, u, x_nom, contact_flags, soft0,
+        Jsoft[:, :nx], Jsoft[:, nx:],
+    )
+    C = Jeq[:, :nx]
+    D = Jeq[:, nx:]
+    return xnext, A, B, cost, qx, qu, Qxx, Quu, Qux, g0, C, D, eq_mask

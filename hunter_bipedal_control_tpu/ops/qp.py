@@ -71,14 +71,20 @@ def solve_qp(H, g, Aeq, beq, Ain, bin, n_iters: int = 18, eq_reg: float = 1e-8,
         Hbar = H + Ain.T @ (w[:, None] * Ain)
         rbar = r_dual + Ain.T @ ((lam * r_ineq - r_cent) / s_safe)
 
-        # KKT with equality duals (regularized to tolerate masked zero rows)
-        K = jnp.block([[Hbar, Aeq.T], [Aeq, -eq_reg * eye_e]])
-        rhs = jnp.concatenate([-rbar, -r_eq])
-        sol = jnp.linalg.solve(K, rhs)
-        dx = sol[:n]
-        dnu = sol[n:]
+        # block elimination via two Cholesky factorizations (TPU-friendly:
+        # SPD 38x38 + SPD me x me instead of an indefinite (n+me) LU):
+        #   Hbar dx + Aeq' dnu = -rbar
+        #   Aeq dx - eq_reg dnu = -r_eq
+        L = jnp.linalg.cholesky(Hbar + 1e-7 * jnp.trace(Hbar) / n * jnp.eye(n, dtype=dtype))
+        solve_h = lambda r: jax.scipy.linalg.cho_solve((L, True), r)
+        HiA = solve_h(Aeq.T)                        # (n, me)
+        Hir = solve_h(rbar)                         # (n,)
+        Schur = Aeq @ HiA + eq_reg * eye_e
+        Ls = jnp.linalg.cholesky(Schur)
+        dnu = jax.scipy.linalg.cho_solve((Ls, True), r_eq - Aeq @ Hir)
+        dx = -Hir - HiA @ dnu
         ds = -r_ineq - Ain @ dx
-        dlam = -(r_cent + lam * ds) / jnp.maximum(s, 1e-12)
+        dlam = -(r_cent + lam * ds) / s_safe
         return dx, ds, dlam, dnu
 
     def body(carry, _):

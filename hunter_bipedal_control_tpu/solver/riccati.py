@@ -1,0 +1,171 @@
+"""Riccati backward sweeps: sequential scan and parallel associative scan.
+
+The reference's HPIPM solves the LQ subproblem with a sequential Riccati
+recursion (SURVEY.md §2.3).  TPU-native, the recursion is expressed two
+ways:
+
+  * `backward_scan` — lax.scan, O(N) depth: best for large scenario
+    batches (each step is a well-utilized batched matmul).
+  * `backward_associative` — jax.lax.associative_scan over Redheffer
+    star-products of per-stage value-function maps, O(log N) depth: the
+    "ring-attention analog" for the horizon axis (SURVEY.md §5), cutting
+    the sequential-latency floor for the real-time single-scenario path.
+
+Derivation of the element algebra (standard discrete-time scattering form):
+stage k defines the affine two-point relation between (x_k, lambda_k) and
+(x_{k+1}, lambda_{k+1}):
+
+    x_{k+1}  = F x_k - C lambda_{k+1} + c
+    lambda_k = X x_k + F' lambda_{k+1} + q
+
+with F = A - B Qww^-1 Qwx, C = B Qww^-1 B', X = Qxx - Qwx' Qww^-1 Qwx,
+c = d - B Qww^-1 qw, q = qx - Qwx' Qww^-1 qw  (cross terms and linear input
+cost eliminated by completing the square).  Composition of two adjacent
+relations eliminates the interior (x, lambda) pair and is associative:
+
+    W  = (I + C1 X2)^-1
+    F  = F2 W F1
+    C  = C2 + F2 W C1 F2'
+    X  = X1 + F1' X2 W F1
+    c  = c2 + F2 W (c1 - C1 q2)
+    q  = q1 + F1' (I + X2 C1)^-1 (q2 + X2 c1)
+
+The value function then reads off as S_k = X, s_k = q of the suffix
+composite (terminal element: F=0, C=0, X=S_N, q=s_N).  Gains are recovered
+per-knot in parallel from (S_{k+1}, s_{k+1}).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class StageLQ(NamedTuple):
+    """Per-knot LQ data after projection (leading axis = knots)."""
+
+    A: jnp.ndarray     # (N, nx, nx)
+    B: jnp.ndarray     # (N, nx, nu)
+    d: jnp.ndarray     # (N, nx)
+    Qxx: jnp.ndarray   # (N, nx, nx)
+    Qww: jnp.ndarray   # (N, nu, nu)  (PD)
+    Qwx: jnp.ndarray   # (N, nu, nx)
+    qx: jnp.ndarray    # (N, nx)
+    qw: jnp.ndarray    # (N, nu)
+
+
+def backward_scan(lq: StageLQ, S_term, s_term, reg: float):
+    """Sequential Riccati (lax.scan), returns (Ks, kffs, Ss, ss)."""
+    nx = lq.A.shape[1]
+    nu = lq.B.shape[2]
+
+    def backward(carry, inp):
+        S, s = carry
+        A_, B_, d_, Qxx_, Qww_, Qwx_, qx_, qw_ = inp
+        Sd = s + S @ d_
+        Huu = Qww_ + B_.T @ S @ B_
+        shift = reg * (1.0 + jnp.trace(Huu) / nu)
+        Huu = Huu + shift * jnp.eye(nu, dtype=S.dtype)
+        Hux = Qwx_ + B_.T @ S @ A_
+        hu = qw_ + B_.T @ Sd
+        Kk = -jnp.linalg.solve(Huu, jnp.concatenate([Hux, hu[:, None]], axis=1))
+        K, kff = Kk[:, :nx], Kk[:, nx]
+        S_new = Qxx_ + A_.T @ S @ A_ + Hux.T @ K
+        S_new = 0.5 * (S_new + S_new.T)
+        s_new = qx_ + A_.T @ Sd + Hux.T @ kff
+        return (S_new, s_new), (K, kff, S, s)
+
+    (_, _), (Ks, kffs, Ss_next, ss_next) = jax.lax.scan(
+        backward, (S_term, s_term),
+        (lq.A, lq.B, lq.d, lq.Qxx, lq.Qww, lq.Qwx, lq.qx, lq.qw),
+        reverse=True,
+    )
+    return Ks, kffs, Ss_next, ss_next
+
+
+def _stage_elements(lq: StageLQ, reg: float):
+    """Build scattering elements (F, C, X, c, q) per stage (vmapped)."""
+    nu = lq.B.shape[2]
+
+    def one(A, B, d, Qxx, Qww, Qwx, qx, qw):
+        shift = reg * (1.0 + jnp.trace(Qww) / nu)
+        L = jnp.linalg.cholesky(Qww + shift * jnp.eye(nu, dtype=A.dtype))
+        iQ = jax.scipy.linalg.cho_solve(
+            (L, True), jnp.concatenate([Qwx, qw[:, None], B.T], axis=1)
+        )
+        iQwx = iQ[:, : A.shape[0]]
+        iqw = iQ[:, A.shape[0]]
+        iBt = iQ[:, A.shape[0] + 1:]
+        F = A - B @ iQwx
+        C = B @ iBt
+        X = Qxx - Qwx.T @ iQwx
+        X = 0.5 * (X + X.T)
+        c = d - B @ iqw
+        q = qx - Qwx.T @ iqw
+        return F, C, X, c, q
+
+    return jax.vmap(one)(lq.A, lq.B, lq.d, lq.Qxx, lq.Qww, lq.Qwx, lq.qx, lq.qw)
+
+
+def _combine(e2, e1):
+    """Star product combine.  NOTE: with associative_scan(reverse=True) the
+    operator receives (later, earlier) suffix pieces; e1 is the earlier
+    (left) element, e2 the later (right) composite."""
+    F1, C1, X1, c1, q1 = e1
+    F2, C2, X2, c2, q2 = e2
+    n = F1.shape[-1]
+    eye = jnp.eye(n, dtype=F1.dtype)
+    W = jnp.linalg.solve(eye + C1 @ X2, eye)
+    F2W = F2 @ W
+    F = F2W @ F1
+    C = C2 + F2W @ C1 @ F2.T
+    X2W = X2 @ W
+    X = X1 + F1.T @ X2W @ F1
+    X = 0.5 * (X + X.T)
+    c = c2 + F2W @ (c1 - C1 @ q2)
+    q = q1 + F1.T @ (jnp.linalg.solve((eye + C1 @ X2).T, (q2 + X2 @ c1)[..., None]))[..., 0]
+    return (F, C, X, c, q)
+
+
+def backward_associative(lq: StageLQ, S_term, s_term, reg: float):
+    """Parallel-in-time Riccati via associative scan. Same outputs as
+    backward_scan (up to regularization-path differences)."""
+    N, nx = lq.A.shape[0], lq.A.shape[1]
+    nu = lq.B.shape[2]
+    dtype = lq.A.dtype
+
+    F, C, X, c, q = _stage_elements(lq, reg)
+    # append the terminal element
+    Fz = jnp.concatenate([F, jnp.zeros((1, nx, nx), dtype)])
+    Cz = jnp.concatenate([C, jnp.zeros((1, nx, nx), dtype)])
+    Xz = jnp.concatenate([X, S_term[None]])
+    cz = jnp.concatenate([c, jnp.zeros((1, nx), dtype)])
+    qz = jnp.concatenate([q, s_term[None]])
+
+    def comb(a, b):
+        # reverse scan: a is the later suffix composite, b the earlier element
+        return jax.vmap(_combine)(a, b)
+
+    Fs, Cs, Xs, cs, qs = jax.lax.associative_scan(
+        comb, (Fz, Cz, Xz, cz, qz), reverse=True
+    )
+    # suffix composite starting at knot k -> value function at knot k
+    Ss = Xs  # (N+1, nx, nx); Ss[k] = S_k
+    ss = qs
+
+    # recover gains in parallel from S_{k+1}, s_{k+1}
+    def gains(A, B, d, Qww, Qwx, qw, S_next, s_next):
+        Sd = s_next + S_next @ d
+        Huu = Qww + B.T @ S_next @ B
+        shift = reg * (1.0 + jnp.trace(Huu) / nu)
+        Huu = Huu + shift * jnp.eye(nu, dtype=dtype)
+        Hux = Qwx + B.T @ S_next @ A
+        hu = qw + B.T @ Sd
+        Kk = -jnp.linalg.solve(Huu, jnp.concatenate([Hux, hu[:, None]], axis=1))
+        return Kk[:, :nx], Kk[:, nx]
+
+    Ks, kffs = jax.vmap(gains)(
+        lq.A, lq.B, lq.d, lq.Qww, lq.Qwx, lq.qw, Ss[1:], ss[1:]
+    )
+    return Ks, kffs, Ss[1:], ss[1:]

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from ..models.centroidal import flow_map
 from ..models.robot import RobotModel
 from ..ocp import problem as ocp
+from . import riccati
 
 # ---------------------------------------------------------------------------
 # settings / containers
@@ -41,6 +42,7 @@ class SqpSettings(NamedTuple):
     n_iterations: int = 1
     proj_reg: float = 1e-6         # projection pseudo-inverse regularization
     hess_reg: float = 1e-6         # Levenberg shift on Quu
+    riccati_parallel: bool = False  # associative-scan (O(log N) depth) Riccati
     g_max: float = 1e-2
     g_min: float = 1e-6
     alphas: tuple = (1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125)
@@ -108,29 +110,16 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
     nu = us_ws.shape[1]
 
     def knot_linearization(x, u, x_nom, flags, fpr, fvr):
-        """All per-knot LQ data (cost GGN + dynamics + projected constraints)."""
-        # dynamics linearization (RK2 sensitivities by AD)
-        xnext = rk2_step(model, x, u, dt)
-        A = jax.jacfwd(lambda x_: rk2_step(model, x_, u, dt))(x)
-        B = jax.jacfwd(lambda u_: rk2_step(model, x, u_, dt))(u)
-
-        # cost quadratic (scaled by dt: multiple-shooting integral)
-        cost, qx, qu, Qxx, Quu, Qux = ocp.stage_quadratic(
-            model, params, x, u, x_nom, flags, fpr, fvr
+        """All per-knot LQ data in one fused jacobian pass
+        (ocp.knot_linearization_fused) with dt-scaled cost quadratics."""
+        (xnext, A, B, cost, qx, qu, Qxx, Quu, Qux, g, C, D, mask) = (
+            ocp.knot_linearization_fused(
+                model, params, x, u, x_nom, flags, fpr, fvr, dt
+            )
         )
         cost, qx, qu, Qxx, Quu, Qux = jax.tree.map(
             lambda a: dt * a, (cost, qx, qu, Qxx, Quu, Qux)
         )
-
-        # equality constraints + projection data
-        g, mask = ocp.eq_constraints(model, params, x, u, flags, fpr, fvr)
-        C = jax.jacfwd(
-            lambda x_: ocp.eq_constraints(model, params, x_, u, flags, fpr, fvr)[0]
-        )(x)
-        D = jax.jacfwd(
-            lambda u_: ocp.eq_constraints(model, params, x, u_, flags, fpr, fvr)[0]
-        )(u)
-        g = g * mask
         C = C * mask[:, None]
         D = D * mask[:, None]
         return xnext, A, B, cost, qx, qu, Qxx, Quu, Qux, g, C, D, mask
@@ -201,33 +190,19 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
             A, B, defects, qx, qu, Qxx, Quu, Qux, g, C, D, gmask
         )
 
-        # ---- Riccati backward pass (sequential scan over the horizon) ----
-        def backward(carry, inp):
-            S, s = carry  # value function 0.5 x'Sx + s'x
-            A_, B_, d_, qx_, qw_, Qxx_, Qww_, Qwx_ = inp
-            Sd = s + S @ d_
-            Huu = Qww_ + B_.T @ S @ B_
-            # scale-relative Levenberg shift: keeps the f32 factorization well
-            # conditioned when dt*R directions (~1e-4) meet B'SB (~1e3)
-            shift = settings.hess_reg * (1.0 + jnp.trace(Huu) / nu)
-            Huu = Huu + shift * jnp.eye(nu, dtype=xs.dtype)
-            Hux = Qwx_ + B_.T @ S @ A_
-            hu = qw_ + B_.T @ Sd
-            Kk = -jnp.linalg.solve(Huu, jnp.concatenate([Hux, hu[:, None]], axis=1))
-            K, kff = Kk[:, :nx], Kk[:, nx]
-            S_new = Qxx_ + A_.T @ S @ A_ + Hux.T @ K
-            S_new = 0.5 * (S_new + S_new.T)
-            s_new = qx_ + A_.T @ Sd + Hux.T @ kff
-            return (S_new, s_new), (K, kff)
-
+        # ---- Riccati backward pass (sequential or parallel-in-time) ----
+        lq = riccati.StageLQ(A=A_t, B=B_t, d=d_t, Qxx=Qxx_t, Qww=Qww,
+                             Qwx=Qwx, qx=qx_t, qw=qw)
         S_term = jnp.zeros((nx, nx), xs.dtype)  # no terminal cost (ref parity)
         s_term = jnp.zeros(nx, xs.dtype)
-        (_, _), (Ks, kffs) = jax.lax.scan(
-            backward,
-            (S_term, s_term),
-            (A_t, B_t, d_t, qx_t, qw, Qxx_t, Qww, Qwx),
-            reverse=True,
-        )
+        if settings.riccati_parallel:
+            Ks, kffs, _, _ = riccati.backward_associative(
+                lq, S_term, s_term, settings.hess_reg
+            )
+        else:
+            Ks, kffs, _, _ = riccati.backward_scan(
+                lq, S_term, s_term, settings.hess_reg
+            )
 
         # ---- forward sweep: linear rollout of deltas ----
         def forward(dx, inp):
