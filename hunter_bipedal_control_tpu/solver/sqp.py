@@ -205,18 +205,28 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
             )
 
         # ---- forward sweep: linear rollout of deltas ----
-        def forward(dx, inp):
-            A_, B_, d_, K, kff, E, e_, P_ = inp
-            w = K @ dx + kff
-            du = e_ + E @ dx + P_ @ w
-            dx_next = A_ @ dx + B_ @ w + d_
-            return dx_next, (dx, du)
-
         dx0 = x_init - xs[0]
-        dx_last, (dxs, dus) = jax.lax.scan(
-            forward, dx0, (A_t, B_t, d_t, Ks, kffs, E, e0, P)
-        )
-        dxs_full = jnp.concatenate([dxs, dx_last[None]], axis=0)  # (N+1, nx)
+        if settings.riccati_parallel:
+            # closed-loop affine maps, composed in O(log N) depth
+            A_cl = A_t + jnp.einsum("kij,kjl->kil", B_t, Ks)
+            b_cl = d_t + jnp.einsum("kij,kj->ki", B_t, kffs)
+            dxs_full = riccati.forward_associative(A_cl, b_cl, dx0)
+            ws = jnp.einsum("kij,kj->ki", Ks, dxs_full[:-1]) + kffs
+            dus = e0 + jnp.einsum("kij,kj->ki", E, dxs_full[:-1]) + jnp.einsum(
+                "kij,kj->ki", P, ws
+            )
+        else:
+            def forward(dx, inp):
+                A_, B_, d_, K, kff, E_, e_, P_ = inp
+                w = K @ dx + kff
+                du = e_ + E_ @ dx + P_ @ w
+                dx_next = A_ @ dx + B_ @ w + d_
+                return dx_next, (dx, du)
+
+            dx_last, (dxs, dus) = jax.lax.scan(
+                forward, dx0, (A_t, B_t, d_t, Ks, kffs, E, e0, P)
+            )
+            dxs_full = jnp.concatenate([dxs, dx_last[None]], axis=0)  # (N+1, nx)
 
         # ---- line search: evaluate all alphas in parallel ----
         cost0, g0 = eval_merit(xs, us)

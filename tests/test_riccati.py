@@ -26,12 +26,23 @@ def test_associative_matches_sequential_f64():
     lq = _random_lq()
     nx = lq.A.shape[1]
     S0, s0 = jnp.zeros((nx, nx)), jnp.zeros(nx)
-    K1, k1, S1, ss1 = backward_scan(lq, S0, s0, 0.0)
+    K1, k1, S1, ss1 = backward_scan(lq, S0, s0, 0.0, use_ns=False)
     K2, k2, S2, ss2 = backward_associative(lq, S0, s0, 0.0)
-    np.testing.assert_allclose(np.asarray(K1), np.asarray(K2), atol=1e-10)
-    np.testing.assert_allclose(np.asarray(k1), np.asarray(k2), atol=1e-10)
+    # associative path recovers gains through NS solves: f32-grade accuracy
     np.testing.assert_allclose(np.asarray(S1), np.asarray(S2), atol=1e-9)
     np.testing.assert_allclose(np.asarray(ss1), np.asarray(ss2), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(K1), np.asarray(K2), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k2), atol=5e-4)
+
+
+def test_ns_scan_matches_lu_scan():
+    lq = _random_lq(seed=7)
+    nx = lq.A.shape[1]
+    S0, s0 = jnp.zeros((nx, nx)), jnp.zeros(nx)
+    K1, k1, S1, _ = backward_scan(lq, S0, s0, 1e-8, use_ns=False)
+    K2, k2, S2, _ = backward_scan(lq, S0, s0, 1e-8, use_ns=True)
+    np.testing.assert_allclose(np.asarray(K1), np.asarray(K2), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(S1), np.asarray(S2), atol=5e-4)
 
 
 def test_associative_f32_stable():
@@ -42,7 +53,9 @@ def test_associative_f32_stable():
     K1, k1, _, _ = backward_scan(lq, S0, s0, 1e-6)
     K2, k2, _, _ = backward_associative(lq, S0, s0, 1e-6)
     assert bool(jnp.isfinite(K2).all())
-    np.testing.assert_allclose(np.asarray(K1), np.asarray(K2), atol=2e-3)
+    # f32 NS floor: ~5e-3 relative on O(10) gains — the SQP line search +
+    # warm-started resolves absorb this (validated by the full-solver test)
+    np.testing.assert_allclose(np.asarray(K1), np.asarray(K2), atol=0.06)
 
 
 def test_solver_with_parallel_riccati(hunter_model_f32):
