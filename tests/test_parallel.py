@@ -1,0 +1,37 @@
+"""Sharded scenario sweeps on the 8-device virtual CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hunter_bipedal_control_tpu.parallel import scenarios, sweep
+
+
+def test_mesh_and_sharding():
+    mesh = sweep.make_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    x = jnp.arange(16.0).reshape(16, 1)
+    xs = sweep.shard_batch(x, mesh)
+    assert xs.sharding.num_devices == len(jax.devices())
+
+
+def test_cmd_vel_sweep_sharded(hunter_model_f32):
+    """16 scenarios over 8 virtual devices: upright, tracking responds."""
+    res = scenarios.run_cmd_vel_sweep(
+        hunter_model_f32, n_scenarios=16, n_periods=25
+    )
+    s = scenarios.summarize_sweep(res)
+    assert s["n"] == 16
+    assert s["upright_fraction"] >= 0.8
+    assert s["z_band"][0] > 0.5 and s["z_band"][1] < 0.75
+    assert np.isfinite(s["mean_tracking_err"])
+
+
+def test_scenario_builders():
+    cmds = scenarios.cmd_vel_grid(32)
+    assert cmds.shape == (32, 4)
+    assert float(jnp.abs(cmds[:, 0]).max()) <= 0.35 + 1e-6
+    xs = scenarios.perturbed_initial_states(8)
+    assert xs.shape == (8, 22)
+    dr = scenarios.domain_randomization(8)
+    assert dr["terrain_pitch"].shape == (8,)
