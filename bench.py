@@ -72,6 +72,24 @@ def main():
     lat_p50 = float(np.percentile(lats, 50) * 1e3)
     lat_p99 = float(np.percentile(lats, 99) * 1e3)
 
+    # ---- chained on-device latency: K back-to-back solves in one jit
+    # (amortizes host dispatch; the number a locally-attached deployment
+    # sees, and what the while-loop'd production runtime sustains) ----
+    K_CHAIN = 4 if quick else 20
+
+    @jax.jit
+    def chained(x):
+        def body(c, _):
+            return c, one_mpc(c)
+        _, costs = jax.lax.scan(body, x, None, length=K_CHAIN)
+        return costs.sum()
+
+    chained(x0).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        chained(x0).block_until_ready()
+    lat_chained = (time.perf_counter() - t0) / 3 / K_CHAIN * 1e3
+
     # ---- batched WBC throughput ----
     wp = default_wbc_params()
     rbd = q_v_to_rbd_state(m, state_to_q(x0), jnp.zeros(16, x0.dtype))
@@ -98,6 +116,7 @@ def main():
         "mpc_batch": B,
         "mpc_single_p50_ms": round(lat_p50, 2),
         "mpc_single_p99_ms": round(lat_p99, 2),
+        "mpc_chained_ms": round(lat_chained, 2),
         "rt_budget_ms": 10.0,
         "wbc_solves_per_s": round(wbc_per_s, 1),
         "wbc_batch": WB,

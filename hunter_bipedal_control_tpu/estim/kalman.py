@@ -168,3 +168,20 @@ def kalman_update(model: RobotModel, params: KalmanParams, state: KalmanState,
 def reset_kalman(dtype=jnp.float32) -> KalmanState:
     """/reset_estimation behavior (:242-278)."""
     return init_kalman_state(dtype)
+
+
+def fuse_external_position(model: RobotModel, state: KalmanState, params: KalmanParams,
+                           new_pos, zyx, joint_pos, contact_flags) -> KalmanState:
+    """External odometry fusion (updateFromTopic, LinearKalmanFilter.cpp
+    :186-241): overwrite the base position with an external estimate (e.g.
+    tracking camera), recompute foot-position states from FK at the new
+    base, and pin contacting feet heights."""
+    q = jnp.concatenate([new_pos, zyx, joint_pos])
+    kin = fk(model, q)
+    feet = contact_positions(model, kin)
+    feet = feet.at[:, 2].add(-params.foot_radius)
+    x = state.x_hat
+    x = x.at[0:3].set(new_pos)
+    x = x.at[6:18].set(feet.reshape(-1))
+    heights = jnp.where(contact_flags > 0.5, feet[:, 2], state.feet_heights)
+    return state._replace(x_hat=x, feet_heights=heights)

@@ -53,7 +53,8 @@ def _damped_solve(J, err, damp=DAMP):
     return jnp.linalg.solve(A, J.T @ err)
 
 
-def translation_ik(model: RobotModel, q_init: jnp.ndarray, des_pos: jnp.ndarray):
+def translation_ik(model: RobotModel, q_init: jnp.ndarray, des_pos: jnp.ndarray,
+                   max_it: int = MAX_IT):
     """Both legs' translation IK.  des_pos: (2, 3) desired toe positions.
     Returns q with both legs' joints updated (computeTranslationIK parity)."""
     lower = model.joint_lower
@@ -81,12 +82,13 @@ def translation_ik(model: RobotModel, q_init: jnp.ndarray, des_pos: jnp.ndarray)
     p0, _, _ = _toe_state(model, q_init)
     err0 = jnp.linalg.norm(p0 - des_pos, axis=1)
     (q_fin, best_q, _), _ = jax.lax.scan(
-        body, (q_init, q_init, err0), None, length=MAX_IT
+        body, (q_init, q_init, err0), None, length=max_it
     )
     return best_q
 
 
-def rotation_ik(model: RobotModel, q_init: jnp.ndarray, R_des: jnp.ndarray):
+def rotation_ik(model: RobotModel, q_init: jnp.ndarray, R_des: jnp.ndarray,
+                max_it: int = MAX_IT):
     """Rotation IK in the null space of the translation Jacobian
     (computeRotationIK parity).  R_des: (3,3) world target applied to both
     toes (the reference passes one R_des for both legs)."""
@@ -130,17 +132,21 @@ def rotation_ik(model: RobotModel, q_init: jnp.ndarray, R_des: jnp.ndarray):
         [jnp.linalg.norm(rot_err(R0[0])), jnp.linalg.norm(rot_err(R0[1]))]
     )
     (q_fin, best_q, _), _ = jax.lax.scan(
-        body, (q_init, q_init, err0), None, length=MAX_IT
+        body, (q_init, q_init, err0), None, length=max_it
     )
     return best_q
 
 
 def compute_ik(model: RobotModel, q_init: jnp.ndarray, des_pos: jnp.ndarray,
-               R_des: jnp.ndarray) -> jnp.ndarray:
+               R_des: jnp.ndarray, trans_it: int = MAX_IT,
+               rot_it: int = MAX_IT) -> jnp.ndarray:
     """Translation IK then null-space rotation IK; returns (nj,) joint
-    angles for both legs (computeIK parity, both legs fused)."""
-    q = translation_ik(model, q_init, des_pos)
-    q = rotation_ik(model, q, R_des)
+    angles for both legs (computeIK parity, both legs fused).  The solver's
+    reference-generation path passes reduced iteration counts (warm starts
+    converge in 2-3 steps; the reference's early-exit usually fires there
+    too)."""
+    q = translation_ik(model, q_init, des_pos, trans_it)
+    q = rotation_ik(model, q, R_des, rot_it)
     return q[6:].astype(q_init.dtype)
 
 

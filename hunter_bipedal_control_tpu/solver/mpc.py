@@ -75,7 +75,7 @@ def _joint_reference(model: RobotModel, target: tg.TargetTrajectories,
         des = jnp.stack(
             [swp.foot_reference(refs, 0, t)[0], swp.foot_reference(refs, 1, t)[0]]
         )
-        qj = ik_mod.compute_ik(model, q_ref, des, R_des)
+        qj = ik_mod.compute_ik(model, q_ref, des, R_des, trans_it=3, rot_it=2)
         return qj, qj
 
     _, joint_refs = jax.lax.scan(sample_step, default_joints, jnp.arange(n_samples))
