@@ -77,10 +77,20 @@ def main():
     # sees, and what the while-loop'd production runtime sustains) ----
     K_CHAIN = 4 if quick else 20
 
+    def one_mpc_full(x_init):
+        sol, _, _ = mpc_mod.mpc_step(
+            m, settings, params, pcfg, state, sched, target, 0.0, x_init,
+            jnp.zeros(6, x_init.dtype), dj,
+        )
+        return sol
+
     @jax.jit
     def chained(x):
+        # data-dependent chain: each solve consumes the previous policy's
+        # one-step state, so XLA cannot hoist the body out of the loop
         def body(c, _):
-            return c, one_mpc(c)
+            sol = one_mpc_full(c)
+            return sol.states[1], sol.cost
         _, costs = jax.lax.scan(body, x, None, length=K_CHAIN)
         return costs.sum()
 
