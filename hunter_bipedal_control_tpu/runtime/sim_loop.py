@@ -23,9 +23,12 @@ from ..backends.fullorder import (
 from ..estim.contact import (
     ContactObserverParams,
     ContactObserverState,
+    classify_contact,
+    early_late_contact_flags,
     init_contact_observer,
     momentum_observer_update,
 )
+from ..refs.swing_planner import start_stop_time
 from ..estim.kalman import KalmanParams, KalmanState, init_kalman_state, kalman_update
 from ..gait import adaptive
 from ..gait.mode_schedule import MODE_CONTACTS, mode_at_time
@@ -134,9 +137,16 @@ def run_sim_loop(model: RobotModel, settings: sqp_mod.SqpSettings,
         gait = adaptive.extend_schedule(gait, t, t + 2 * settings.horizon)
 
         body_cmd6 = jnp.concatenate([cmd_vel[0:3], jnp.zeros(2, dtype), cmd_vel[3:4]])
-        sol, mpc_state, _ = mpc_mod.mpc_step(
+        sol, mpc_state, bundle = mpc_mod.mpc_step(
             model, settings, params, planner_cfg, st.mpc_state, gait.schedule,
             target, t, x_est, body_cmd6, default_joints,
+        )
+        # swing windows for contact classification (StartStopTime4Legs,
+        # LeggedController.cpp:306-308)
+        from ..gait.mode_schedule import swing_windows
+
+        win_starts, win_stops, _ = swing_windows(
+            gait.schedule, t - settings.horizon, t + 2 * settings.horizon
         )
 
         def tick(tc, j):
@@ -148,6 +158,18 @@ def run_sim_loop(model: RobotModel, settings: sqp_mod.SqpSettings,
             )
             obs, _ = momentum_observer_update(
                 model, obs_params, obs, rbd, last_tau, cfg.control_dt
+            )
+            # contact classification + early/late detection
+            from ..gait.mode_schedule import phase_index_at_time
+
+            p = phase_index_at_time(gait.schedule, tt)
+            ss = jnp.stack([win_starts[:, p], win_stops[:, p]], axis=1)
+            est_contact = classify_contact(obs_params, obs.est_forces,
+                                           cmd_contact, ss, tt)
+            frac = jnp.clip((tt - ss[:, 0]) / jnp.maximum(ss[:, 1] - ss[:, 0], 1e-6),
+                            0.0, 1.0)
+            early, late = early_late_contact_flags(
+                None, est_contact, cmd_contact, frac, ss[:, 1] - tt
             )
             out, wbc_state = control_tick(
                 model, wbc_params, gains, wbc_state, sol, gait.schedule, tt,
@@ -162,10 +184,12 @@ def run_sim_loop(model: RobotModel, settings: sqp_mod.SqpSettings,
             )
             return (
                 (plant, kf, obs, wbc_state, out.emergency_stop, tau_applied),
-                (plant.q[2], x_now[0]),
+                (plant.q[2], x_now[0], est_contact, early, late),
             )
 
-        (plant, kf, obs, wbc_state, estop, last_tau), (zs, vxs) = jax.lax.scan(
+        (plant, kf, obs, wbc_state, estop, last_tau), (
+            zs, vxs, est_contacts, earlies, lates
+        ) = jax.lax.scan(
             tick,
             (st.plant, kf0, st.observer, st.wbc_state, st.emergency_stop,
              st.last_torque),
@@ -188,6 +212,9 @@ def run_sim_loop(model: RobotModel, settings: sqp_mod.SqpSettings,
             "gait_level": gait.gait_level,
             "contact_fz": plant.contact_forces[:, 2],
             "est_force_norm": obs.est_forces[12:14],
+            "est_contact": est_contacts[-1],
+            "early_contact": earlies[-1],
+            "late_contact": lates[-1],
         }
         return new_state, telem
 
