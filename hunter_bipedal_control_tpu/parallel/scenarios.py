@@ -87,9 +87,14 @@ class SweepResult(NamedTuple):
 
 def run_cmd_vel_sweep(model: RobotModel, n_scenarios: int, n_periods: int = 60,
                       mesh=None, settings: sqp_mod.SqpSettings | None = None,
-                      seed=0):
+                      seed=0, chunk_size: int | None = None):
     """Config 3: batched closed-loop velocity tracking (dummy backend),
-    sharded over the mesh data axis.  Returns SweepResult (per scenario)."""
+    sharded over the mesh data axis.  Returns SweepResult (per scenario).
+
+    ``chunk_size`` runs the sweep as sequential device-sized chunks reusing
+    one compiled executable — the per-chip HBM working set of the fused
+    linearization (3x3 tiles pad 60x on TPU) caps a single launch at a few
+    hundred scenarios; 1k+ sweeps chunk transparently."""
     settings = settings or sqp_mod.SqpSettings()
     dtype = jnp.float32
     dj = jnp.asarray(DJ)
@@ -123,9 +128,17 @@ def run_cmd_vel_sweep(model: RobotModel, n_scenarios: int, n_periods: int = 60,
     if mesh is None:
         mesh = make_mesh()
     shard = NamedSharding(mesh, P("data"))
-    cmd_seq = jax.device_put(cmd_seq, shard)
     fn = jax.jit(jax.vmap(one), in_shardings=shard, out_shardings=shard)
-    return fn(cmd_seq)
+
+    if chunk_size is None or chunk_size >= n_scenarios:
+        return fn(jax.device_put(cmd_seq, shard))
+
+    chunks = []
+    for i in range(0, n_scenarios, chunk_size):
+        part = jax.device_put(cmd_seq[i:i + chunk_size], shard)
+        chunks.append(jax.tree.map(np.asarray, fn(part)))
+    return jax.tree.map(lambda *xs: jnp.concatenate([jnp.asarray(x) for x in xs]),
+                        *chunks)
 
 
 def summarize_sweep(res: SweepResult) -> dict:
