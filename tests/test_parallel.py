@@ -35,3 +35,35 @@ def test_scenario_builders():
     assert xs.shape == (8, 22)
     dr = scenarios.domain_randomization(8)
     assert dr["terrain_pitch"].shape == (8,)
+
+
+def test_two_axis_mesh_host_device(hunter_model_f32):
+    """Multi-host sharding pattern (BASELINE config 5): a 2D ('host',
+    'device') mesh with the scenario batch sharded over both axes — the
+    same program layout a real 2-host DCN deployment uses (host axis maps
+    to DCN, device axis to ICI)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hunter_bipedal_control_tpu.parallel.sweep import make_mesh
+
+    mesh = make_mesh((2, 4), ("host", "device"))
+    shard = NamedSharding(mesh, P(("host", "device")))
+    m = hunter_model_f32
+
+    from hunter_bipedal_control_tpu.models.dynamics import mass_matrix
+
+    B = 16
+    qs = jnp.tile(
+        jnp.concatenate([jnp.zeros(6, jnp.float32),
+                         jnp.asarray(scenarios.DJ)])[None], (B, 1)
+    )
+    qs = jax.device_put(qs, shard)
+    fn = jax.jit(jax.vmap(lambda q: mass_matrix(m, q)),
+                 in_shardings=shard, out_shardings=shard)
+    M = fn(qs)
+    assert M.shape == (B, 16, 16)
+    assert M.sharding.num_devices == 8
+    # cross-host reduction: XLA inserts the collectives
+    total = jax.jit(lambda M_: M_.trace(axis1=1, axis2=2).mean())(M)
+    assert np.isfinite(float(total))
