@@ -72,6 +72,42 @@ def filter_cmd_vel(cmd_vel, last_cmd_vel, cfg: CmdVelConfig):
     return out
 
 
+def estimate_time_to_target(pos_err, yaw_err, cfg: CmdVelConfig):
+    """TargetTrajectoriesPublisher::estimateTimeToTarget (.cpp:29-38):
+    max of displacement / targetDisplacementVelocity and
+    |dyaw| / targetRotationVelocity."""
+    t_disp = pos_err / cfg.target_displacement_velocity
+    t_rot = jnp.abs(yaw_err) / cfg.target_rotation_velocity
+    return jnp.maximum(t_disp, t_rot)
+
+
+def goal_to_target(goal_pose, observation_state, t_now, cfg: CmdVelConfig,
+                   nu=22) -> TargetTrajectories:
+    """goalToTargetTrajectories (.cpp:83-100): a world-frame pose goal
+    (x, y, yaw) becomes a 2-point trajectory whose duration comes from
+    estimateTimeToTarget; z snaps to comHeight, roll/pitch to zero."""
+    dtype = observation_state.dtype
+    current_pose = observation_state[6:12]
+    target_pose = jnp.array(
+        [goal_pose[0], goal_pose[1], cfg.com_height,
+         goal_pose[2], 0.0, 0.0], dtype=dtype,
+    )
+    pos_err = jnp.linalg.norm(target_pose[0:2] - current_pose[0:2])
+    yaw_err = target_pose[3] - current_pose[3]
+    T = estimate_time_to_target(pos_err, yaw_err, cfg)
+
+    nx = observation_state.shape[0]
+    s0 = jnp.zeros(nx, dtype)
+    s0 = s0.at[6:12].set(current_pose)
+    s0 = s0.at[12:].set(cfg.default_joints)
+    s1 = s0.at[6:12].set(target_pose)
+
+    times = jnp.full((T_NODES,), t_now + T, dtype).at[0].set(t_now)
+    states = jnp.tile(s1[None], (T_NODES, 1)).at[0].set(s0)
+    inputs = jnp.zeros((T_NODES, nu), dtype)
+    return TargetTrajectories(times=times, states=states, inputs=inputs)
+
+
 def cmd_vel_to_target(cmd_vel, observation_state, t_now, horizon,
                       cfg: CmdVelConfig, nu=22) -> TargetTrajectories:
     """cmdVelToTargetTrajectories (.cpp:102-130): rotate the planar command
