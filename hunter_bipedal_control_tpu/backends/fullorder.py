@@ -148,7 +148,8 @@ def sim_step(model: RobotModel, params: SimParams, state: SimState,
         h = nle(model, q, v)
         A_sys = M + jnp.diag(arm + params.dt * damp)
         rhs = tau_gen - h - damp * v
-        a = jnp.linalg.solve(A_sys, rhs)
+        from ..ops.linalg import gj_inverse
+        a = gj_inverse(A_sys) @ rhs  # SPD mass matrix: no-LU inverse
         v_new = v + params.dt * a
         q_new = q + params.dt * v_new  # semi-implicit Euler
         return (q_new, v_new), (a, f_c)

@@ -89,7 +89,8 @@ def momentum_observer_update(model: RobotModel, params: ContactObserverParams,
         b = S_l @ tau_dist                           # (5,)
         # min-norm least squares (SVD stand-in): w = A^T (A A^T + eps)^-1 b
         AAt = A @ A.T + 1e-6 * jnp.eye(5, dtype=dtype)
-        return A.T @ jnp.linalg.solve(AAt, b)
+        from ..ops.linalg import gj_inverse
+        return A.T @ (gj_inverse(AAt) @ b)
 
     w_l = leg_wrench(0, 0)
     w_r = leg_wrench(1, 5)

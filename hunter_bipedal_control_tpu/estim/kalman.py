@@ -148,7 +148,10 @@ def kalman_update(model: RobotModel, params: KalmanParams, state: KalmanState,
     yhat = C @ x_pred
     ey = y - yhat
     Ssy = C @ Pm @ C.T + Rn
-    sol = jnp.linalg.solve(Ssy, jnp.concatenate([ey[:, None], C], axis=1))
+    # innovation covariance is SPD (noise-regularized): pivoted Gauss-Jordan
+    # replaces the 28x28 row-sequential LU on the 500 Hz device loop
+    from ..ops.linalg import gj_inverse
+    sol = gj_inverse(Ssy) @ jnp.concatenate([ey[:, None], C], axis=1)
     s_ey, s_C = sol[:, 0], sol[:, 1:]
     x_new = x_pred + Pm @ C.T @ s_ey
     P_new = (jnp.eye(NS, dtype=dtype) - Pm @ C.T @ s_C) @ Pm

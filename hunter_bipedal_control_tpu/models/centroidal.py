@@ -77,6 +77,29 @@ def contact_forces(u: jnp.ndarray, nc: int) -> jnp.ndarray:
     return u[: 3 * nc].reshape(nc, 3)
 
 
+def base_block_solve(model: RobotModel, Ab: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Solve A_b x = rhs exploiting the exact structure of the CMM base
+    block: pure base translation produces zero angular momentum about the
+    CoM (sum_k m_k r_k = 0), so
+
+        A_b = [[m I3, A12], [0, A22]]
+
+    is block upper-triangular and the solve reduces to one closed-form 3x3
+    inverse — no LU/pivoting anywhere in the flow-map hot path.  rhs may be
+    (6,) or (6, k)."""
+    from ..ops.linalg import inv3
+
+    vec = rhs.ndim == 1
+    if vec:
+        rhs = rhs[:, None]
+    A12 = Ab[0:3, 3:6]
+    A22 = Ab[3:6, 3:6]
+    x2 = inv3(A22) @ rhs[3:6]
+    x1 = (rhs[0:3] - A12 @ x2) / model.total_mass
+    x = jnp.concatenate([x1, x2], axis=0)
+    return x[:, 0] if vec else x
+
+
 def base_velocity_from_momentum(model: RobotModel, kin: KinData, h_norm: jnp.ndarray,
                                 vj: jnp.ndarray) -> jnp.ndarray:
     """(6,) [dp_base; dtheta_zyx] solving A_b v_b = m h_norm - A_j v_j
@@ -84,7 +107,7 @@ def base_velocity_from_momentum(model: RobotModel, kin: KinData, h_norm: jnp.nda
     A = centroidal_momentum_matrix(model, kin)
     Ab, Aj = A[:, 0:6], A[:, 6:]
     rhs = model.total_mass * h_norm - Aj @ vj
-    return jnp.linalg.solve(Ab, rhs)
+    return base_block_solve(model, Ab, rhs)
 
 
 def state_input_to_v(model: RobotModel, x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:

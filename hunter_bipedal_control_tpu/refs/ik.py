@@ -48,9 +48,14 @@ def _toe_state(model: RobotModel, q):
 
 
 def _damped_solve(J, err, damp=DAMP):
-    """argmin ||J d - err||^2 + damp||d||^2 (QR-solve stand-in, fixed shape)."""
+    """argmin ||J d - err||^2 + damp||d||^2 (QR-solve stand-in, fixed shape).
+    The 5x5 SPD normal system is inverted by pivoted Gauss-Jordan — this
+    sits on the MPC reference-generation hot path (calculateJointRef runs
+    IK per 0.15 s sample), where XLA's row-sequential LU dominates on TPU."""
+    from ..ops.linalg import gj_inverse
+
     A = J.T @ J + damp * jnp.eye(J.shape[1], dtype=J.dtype)
-    return jnp.linalg.solve(A, J.T @ err)
+    return gj_inverse(A) @ (J.T @ err)
 
 
 def translation_ik(model: RobotModel, q_init: jnp.ndarray, des_pos: jnp.ndarray,
@@ -107,8 +112,10 @@ def rotation_ik(model: RobotModel, q_init: jnp.ndarray, R_des: jnp.ndarray,
             Jlin = Rleg.T @ Jleg[0:3]
             Jang = Rleg.T @ Jleg[3:6]
             # null-space projector of the translation jacobian
+            from ..ops.linalg import inv3
+
             JJt = Jlin @ Jlin.T + DAMP * jnp.eye(3, dtype=Jlin.dtype)
-            N = jnp.eye(5, dtype=Jlin.dtype) - Jlin.T @ jnp.linalg.solve(JJt, Jlin)
+            N = jnp.eye(5, dtype=Jlin.dtype) - Jlin.T @ (inv3(JJt) @ Jlin)
             e = rot_err(Rleg)
             w = _damped_solve(Jang @ N, e)
             return -N @ w, e

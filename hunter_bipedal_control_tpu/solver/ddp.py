@@ -101,7 +101,8 @@ def solve(model: RobotModel, settings: DdpSettings, params: ocp.OcpParams,
         def project(A_, B_, qx_, qu_, Qxx_, Quu_, Qux_, g_, C_, D_, m_):
             DDt = (D_ @ D_.T + jnp.diag(1.0 - m_)
                    + settings.proj_reg * jnp.eye(D_.shape[0], dtype=dtype))
-            Dp = D_.T @ jnp.linalg.inv(DDt)
+            from ..ops.linalg import gj_inverse
+            Dp = D_.T @ gj_inverse(DDt)  # SPD: no-pivot GJ, TPU-friendly
             P = eye_u - Dp @ D_
             E = -Dp @ C_
             e = -Dp @ g_

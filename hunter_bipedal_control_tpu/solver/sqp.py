@@ -125,23 +125,15 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
         return xnext, A, B, cost, qx, qu, Qxx, Quu, Qux, g, C, D, mask
 
     def eval_merit(xs, us):
-        """(total cost, constraint 1-norm metric) of a trajectory."""
-        def stage(k):
-            return ocp.stage_cost_value(
+        """(total cost, constraint 1-norm metric) of a trajectory — one fused
+        kinematics pass per knot (ocp.stage_merit_fused)."""
+        costs, xnext, eq_res = jax.vmap(
+            lambda k: ocp.stage_merit_fused(
                 model, params, xs[k], us[k], refs.x_nom[k], refs.contact_flags[k],
-                refs.foot_pos_ref[k], refs.foot_vel_ref[k],
-            )
-
-        costs = jax.vmap(stage)(jnp.arange(N))
-        xnext = jax.vmap(lambda k: rk2_step(model, xs[k], us[k], dt))(jnp.arange(N))
-        defects = xs[1:] - xnext
-        eqs = jax.vmap(
-            lambda k: ocp.eq_constraints(
-                model, params, xs[k], us[k], refs.contact_flags[k],
-                refs.foot_pos_ref[k], refs.foot_vel_ref[k],
+                refs.foot_pos_ref[k], refs.foot_vel_ref[k], dt,
             )
         )(jnp.arange(N))
-        eq_res = eqs[0] * eqs[1]
+        defects = xs[1:] - xnext
         g_metric = jnp.abs(defects).sum() / N + jnp.abs(eq_res).sum() / N
         return dt * costs.sum(), g_metric
 
@@ -168,7 +160,12 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
                 + jnp.diag(1.0 - mask_)
                 + settings.proj_reg * jnp.eye(D_.shape[0], dtype=D_.dtype)
             )
-            Dpinv = D_.T @ jnp.linalg.inv(DDt)          # (nu, m)
+            # unrolled no-pivot Gauss-Jordan: DDt is symmetric positive
+            # definite by construction (unit diagonal on masked rows + reg),
+            # and the GJ tableau is pure vectorized arithmetic on TPU where
+            # XLA's LU is row-sequential
+            from ..ops.linalg import gj_inverse
+            Dpinv = D_.T @ gj_inverse(DDt)              # (nu, m)
             P = eye_u - Dpinv @ D_                       # null-space projector
             E = -Dpinv @ C_                              # du = e + E dx + P w
             e = -Dpinv @ g_

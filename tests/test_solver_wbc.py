@@ -59,6 +59,51 @@ def test_qp_kkt():
     assert np.abs(r).max() < 1e-3
 
 
+def test_structured_linearization_matches_ad(setup):
+    """The structure-exploiting knot linearization (AD over q only, analytic
+    h/u columns) must match the pure-AD oracle to f32 precision across all
+    contact modes."""
+    m, settings, params, qnom = setup
+    rng = np.random.default_rng(3)
+    dt = 0.015
+    for flags in ([1, 1, 1, 1], [0, 0, 0, 0], [1, 0, 1, 0], [0, 1, 0, 1]):
+        x = jnp.concatenate([
+            jnp.asarray(rng.normal(0, 0.2, 6), F32),
+            jnp.asarray(rng.normal(0, 0.05, 3), F32) + jnp.array([0, 0, 0.63], F32),
+            jnp.asarray(rng.normal(0, 0.1, 3), F32),
+            DJ + jnp.asarray(rng.normal(0, 0.1, 10), F32),
+        ])
+        u = jnp.asarray(rng.normal(0, 20.0, 22), F32)
+        fl = jnp.asarray(flags, F32)
+        fpr = jnp.asarray(rng.normal(0, 0.3, (4, 3)), F32)
+        fvr = jnp.asarray(rng.normal(0, 0.3, (4, 3)), F32)
+        ref = ocp.knot_linearization_fused_ad(m, params, x, u, x + 0.01, fl, fpr, fvr, dt)
+        fast = ocp.knot_linearization_fused(m, params, x, u, x + 0.01, fl, fpr, fvr, dt)
+        for a, b in zip(ref, fast):
+            scale = float(jnp.max(jnp.abs(a))) + 1.0
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-4 * scale, rtol=1e-4)
+
+
+def test_fused_merit_matches_naive(setup):
+    """stage_merit_fused == stage_cost_value + rk2_step + eq_constraints."""
+    m, settings, params, qnom = setup
+    rng = np.random.default_rng(4)
+    dt = 0.015
+    x = jnp.concatenate([jnp.asarray(rng.normal(0, 0.1, 6), F32), qnom])
+    u = jnp.asarray(rng.normal(0, 10.0, 22), F32)
+    fl = jnp.asarray([1, 0, 1, 0], F32)
+    fpr = jnp.asarray(rng.normal(0, 0.3, (4, 3)), F32)
+    fvr = jnp.asarray(rng.normal(0, 0.3, (4, 3)), F32)
+    cost, xnext, eq_res = ocp.stage_merit_fused(m, params, x, u, x, fl, fpr, fvr, dt)
+    cost_ref = ocp.stage_cost_value(m, params, x, u, x, fl, fpr, fvr)
+    xnext_ref = sqp.rk2_step(m, x, u, dt)
+    g, mask = ocp.eq_constraints(m, params, x, u, fl, fpr, fvr)
+    np.testing.assert_allclose(float(cost), float(cost_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(xnext), np.asarray(xnext_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(eq_res), np.asarray(g * mask), atol=1e-5)
+
+
 def _stance_bundle(m, settings, params, qnom):
     x0 = jnp.concatenate([jnp.zeros(6, F32), qnom])
     sched = ms.tile_template(ms.STANCE_GAIT(), -0.8, 2.4)
