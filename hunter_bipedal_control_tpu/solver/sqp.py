@@ -226,7 +226,11 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
             dxs_full = jnp.concatenate([dxs, dx_last[None]], axis=0)  # (N+1, nx)
 
         # ---- line search: evaluate all alphas in parallel ----
-        cost0, g0 = eval_merit(xs, us)
+        # baseline merit comes free from the linearization byproducts
+        # (stage costs are dt-scaled in knot_linearization, defects/eq
+        # residuals are exact primal values)
+        cost0 = cost_k.sum()
+        g0 = jnp.abs(defects).sum() / N + jnp.abs(g).sum() / N
         alphas = jnp.asarray(settings.alphas, xs.dtype)
 
         def candidate(alpha):
@@ -263,12 +267,18 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
 
         xs_new = xs + alpha * dxs_full
         us_new = us + alpha * dus
-        return (xs_new, us_new), alpha
+        # merit of the accepted point: the chosen candidate's values (or the
+        # baseline when the step degenerated to zero) — no extra rollout
+        cost_acc = jnp.where(
+            alpha > 0.0, jnp.where(any_ok, cost_a[idx], cost_a[-1]), cost0)
+        g_acc = jnp.where(
+            alpha > 0.0, jnp.where(any_ok, g_a[idx], g_a[-1]), g0)
+        return (xs_new, us_new), (alpha, cost_acc, g_acc)
 
-    (xs_fin, us_fin), alphas_hist = jax.lax.scan(
+    (xs_fin, us_fin), (alphas_hist, costs_hist, gs_hist) = jax.lax.scan(
         sqp_iteration, (xs_ws, us_ws), None, length=settings.n_iterations
     )
-    cost_fin, g_fin = eval_merit(xs_fin, us_fin)
+    cost_fin, g_fin = costs_hist[-1], gs_hist[-1]
 
     inputs_full = jnp.concatenate([us_fin, us_fin[-1:]], axis=0)
     return SqpSolution(

@@ -99,3 +99,35 @@ def test_self_collision(hunter_model_f32):
     assert min(float(d2a.min()), float(d2b.min())) < float(d.min())
     c = self_collision_cost(m, jnp.concatenate([jnp.zeros(6, F32), q]), pairs)
     assert np.isfinite(float(c))
+
+
+def test_linalg_primitives(hunter_model_f32):
+    """inv3 / gj_inverse / base_block_solve match LAPACK references."""
+    from hunter_bipedal_control_tpu.ops.linalg import gj_inverse, inv3
+    from hunter_bipedal_control_tpu.models.kinematics import fk
+    from hunter_bipedal_control_tpu.models.centroidal import (
+        base_block_solve, centroidal_momentum_matrix)
+
+    rng = np.random.default_rng(11)
+    # inv3: batched closed form
+    M = jnp.asarray(rng.standard_normal((7, 3, 3)) + 3 * np.eye(3), jnp.float32)
+    np.testing.assert_allclose(np.asarray(inv3(M) @ M),
+                               np.broadcast_to(np.eye(3), (7, 3, 3)),
+                               atol=2e-5)
+    # gj_inverse: SPD batch, well-conditioned
+    A = rng.standard_normal((5, 16, 16))
+    A = jnp.asarray(A @ np.swapaxes(A, -1, -2) + 16 * np.eye(16), jnp.float32)
+    np.testing.assert_allclose(np.asarray(gj_inverse(A) @ A),
+                               np.broadcast_to(np.eye(16), (5, 16, 16)),
+                               atol=5e-4)
+    # base_block_solve: exact vs generic solve on the real CMM base block
+    m = hunter_model_f32
+    q = jnp.asarray(np.concatenate([rng.normal(0, 0.2, 6), rng.normal(0, 0.4, 10)]),
+                    jnp.float32)
+    Acmm = centroidal_momentum_matrix(m, fk(m, q))
+    Ab = Acmm[:, :6]
+    rhs = jnp.asarray(rng.standard_normal((6, 4)), jnp.float32)
+    x_ref = jnp.linalg.solve(Ab, rhs)
+    x_new = base_block_solve(m, Ab, rhs)
+    np.testing.assert_allclose(np.asarray(x_new), np.asarray(x_ref),
+                               atol=1e-4, rtol=1e-4)
