@@ -93,6 +93,51 @@ def solver_observer(model, params, sol, bundle):
     return jax.vmap(knot)(jnp.arange(N))
 
 
+def self_collision_distances(model, xs, pairs=None):
+    """Collision-pair distance stream over a state trajectory — the
+    LeggedSelfCollisionVisualization parity surface (publishes pair
+    distances at <=50 Hz, LeggedSelfCollisionVisualization.h:35-46).
+
+    xs: (T, nx) centroidal states.  Returns (T, n_pairs) distances.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.kinematics import fk
+    from ..ocp import self_collision as sc
+
+    if pairs is None:
+        pairs = sc.default_shin_pairs(model, xs.dtype)
+
+    def one(x):
+        return sc.pair_distances(model, fk(model, x[6:]), pairs)
+
+    return jax.vmap(one)(xs)
+
+
+class device_trace:
+    """jax.profiler trace context for kernel-level TPU timing (the
+    flamegraph-style tracing the reference lacks; SURVEY.md §5).  Usage:
+
+        with device_trace("/tmp/jax_trace"):
+            solve(...)  # then inspect with TensorBoard / xprof
+    """
+
+    def __init__(self, logdir: str):
+        self.logdir = logdir
+
+    def __enter__(self):
+        import jax
+
+        jax.profiler.start_trace(self.logdir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        jax.profiler.stop_trace()
+
+
 class TraceRecorder:
     """Accumulates per-period telemetry dicts; dumps npz + JSONL summaries."""
 

@@ -131,3 +131,27 @@ def test_linalg_primitives(hunter_model_f32):
     x_new = base_block_solve(m, Ab, rhs)
     np.testing.assert_allclose(np.asarray(x_new), np.asarray(x_ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_collision_distance_stream(hunter_model_f32):
+    from hunter_bipedal_control_tpu.runtime.telemetry import self_collision_distances
+
+    m = hunter_model_f32
+    dj = jnp.array([0.10, 0., 0.40, 0.93, 0.53, -0.10, 0., -0.40, 0.93, -0.53],
+                   jnp.float32)
+    x = jnp.concatenate([jnp.zeros(6, jnp.float32),
+                         jnp.array([0, 0, 0.63], jnp.float32),
+                         jnp.zeros(3, jnp.float32), dj])
+    xs = jnp.tile(x[None], (4, 1))
+    d = self_collision_distances(m, xs)
+    assert d.shape[0] == 4 and d.shape[1] >= 1
+    # shins are apart at the default pose
+    assert float(d.min()) > 0.05
+
+
+def test_device_trace_context(tmp_path):
+    from hunter_bipedal_control_tpu.runtime.telemetry import device_trace
+
+    with device_trace(str(tmp_path)):
+        jnp.ones(8).sum().block_until_ready()
+    assert len(list(tmp_path.rglob("*"))) > 0
