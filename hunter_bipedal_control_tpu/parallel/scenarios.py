@@ -141,6 +141,87 @@ def run_cmd_vel_sweep(model: RobotModel, n_scenarios: int, n_periods: int = 60,
                         *chunks)
 
 
+class PushRecoveryResult(NamedTuple):
+    recovered: jnp.ndarray     # (B,) upright & on height at the end
+    settled_vel: jnp.ndarray   # (B,) |vx| small at the end
+    min_z: jnp.ndarray         # (B,)
+    max_tilt: jnp.ndarray      # (B,) max |roll/pitch| over the run
+    estop: jnp.ndarray         # (B,)
+
+
+def run_push_recovery_sweep(model: RobotModel, n_scenarios: int,
+                            n_periods: int = 50, mesh=None,
+                            settings: sqp_mod.SqpSettings | None = None,
+                            seed=1, chunk_size: int | None = None):
+    """Config 4: randomized momentum/pose kicks with the FULL estimator-in-
+    the-loop physics sim (KF + momentum observer + WBC + PD motors +
+    contacts), zero velocity command — measure recovery to quiet stance."""
+    from ..backends.fullorder import default_sim_params
+    from ..estim.contact import default_contact_params
+    from ..estim.kalman import default_kalman_params
+    from ..models.centroidal import base_velocity_from_momentum
+    from ..models.kinematics import fk
+    from ..runtime import sim_loop
+
+    settings = settings or sqp_mod.SqpSettings()
+    dtype = jnp.float32
+    dj = jnp.asarray(DJ)
+    qnom = jnp.concatenate([jnp.asarray([0., 0., 0.63], dtype), jnp.zeros(3, dtype), dj])
+    params = ocp.make_input_cost(model, ocp.default_ocp_params(model), qnom)
+
+    x0s = perturbed_initial_states(n_scenarios, seed=seed)
+    cmds = jnp.zeros((n_periods, 4), dtype)
+
+    def one(x0):
+        q0 = x0[6:]
+        vb = base_velocity_from_momentum(model, fk(model, q0), x0[0:6],
+                                         jnp.zeros(model.nj, dtype))
+        v0 = jnp.concatenate([vb, jnp.zeros(model.nj, dtype)])
+        st = sim_loop.init_sim_loop_state(model, settings, q0, v0)
+        fin, telem = sim_loop.run_sim_loop(
+            model, settings, params, swp.default_swing_config(),
+            default_wbc_params(), default_gains(), tg.default_cmd_vel_config(),
+            default_kalman_params(), default_contact_params(),
+            default_sim_params(), rloop.LoopConfig(), st, cmds, n_periods, dj,
+        )
+        qs = telem["q"]                       # (n_periods, 16)
+        tilt = jnp.abs(qs[:, 3:6]).max()
+        z_end = qs[-1, 2]
+        upright = (jnp.abs(qs[-1, 3:6]).max() < 0.3) & (z_end > 0.5) & (z_end < 0.75)
+        settled = jnp.abs(telem["vx_est"][-1]) < 0.15
+        return PushRecoveryResult(
+            recovered=upright,
+            settled_vel=settled,
+            min_z=telem["base_z"].min(),
+            max_tilt=tilt,
+            estop=fin.emergency_stop,
+        )
+
+    if mesh is None:
+        mesh = make_mesh()
+    shard = NamedSharding(mesh, P("data"))
+    fn = jax.jit(jax.vmap(one), in_shardings=shard, out_shardings=shard)
+
+    if chunk_size is None or chunk_size >= n_scenarios:
+        return fn(jax.device_put(x0s, shard))
+    chunks = []
+    for i in range(0, n_scenarios, chunk_size):
+        part = jax.device_put(x0s[i:i + chunk_size], shard)
+        chunks.append(jax.tree.map(np.asarray, fn(part)))
+    return jax.tree.map(lambda *xs: jnp.concatenate([jnp.asarray(x) for x in xs]),
+                        *chunks)
+
+
+def summarize_push_recovery(res: PushRecoveryResult) -> dict:
+    return {
+        "n": int(res.recovered.shape[0]),
+        "recovered_fraction": float(res.recovered.mean()),
+        "settled_fraction": float(res.settled_vel.mean()),
+        "estop_fraction": float(res.estop.mean()),
+        "min_z": float(res.min_z.min()),
+    }
+
+
 def summarize_sweep(res: SweepResult) -> dict:
     """Cross-shard summary (collectives inserted by XLA)."""
     return {

@@ -67,3 +67,16 @@ def test_two_axis_mesh_host_device(hunter_model_f32):
     # cross-host reduction: XLA inserts the collectives
     total = jax.jit(lambda M_: M_.trace(axis1=1, axis2=2).mean())(M)
     assert np.isfinite(float(total))
+
+
+def test_push_recovery_sweep_small(hunter_model_f32):
+    """Config 4 canned sweep: estimator-in-the-loop physics, tiny shapes."""
+    from hunter_bipedal_control_tpu.solver import sqp as sqp_mod
+
+    res = scenarios.run_push_recovery_sweep(
+        hunter_model_f32, 8, n_periods=4,
+        settings=sqp_mod.SqpSettings(n_intervals=8, horizon=0.24))
+    s = scenarios.summarize_push_recovery(res)
+    assert s["n"] == 8
+    assert s["estop_fraction"] == 0.0
+    assert s["min_z"] > 0.4
