@@ -470,14 +470,21 @@ def knot_linearization_fused(model: RobotModel, params: OcpParams, x, u, x_nom,
     forces = contact_forces(u, nc)
     vj = joint_velocities(u, nj)
 
-    def rows_q(q_):
-        x_ = jnp.concatenate([h, q_])
+    # Base POSITION columns are closed-form too: the flow map is
+    # translation-invariant (p_c - p_com cancels the shift, the CMM and all
+    # Jacobians depend on relative geometry only), so only the position-gain
+    # terms of the constraint rows see base position — AD runs over the 13
+    # (euler, joints) tangents only.
+    pos = q[0:3]
+
+    def rows_q(q_ej):
+        x_ = jnp.concatenate([h, pos, q_ej])
         flow, g, _, soft = combined_rows(
             model, params, x_, u, contact_flags, foot_pos_ref, foot_vel_ref
         )
         return jnp.concatenate([flow, g, soft])
 
-    Jq = jax.jacfwd(rows_q)(q)            # (nrows, nq) — the only AD pass
+    Jej = jax.jacfwd(rows_q)(q[3:])       # (nrows, nq-3) — the only AD pass
 
     # ---- primal + analytic-column ingredients (one kinematics pass; XLA
     # CSEs the duplicate subgraph against the jacfwd primal) ----
@@ -600,12 +607,30 @@ def knot_linearization_fused(model: RobotModel, params: OcpParams, x, u, x_nom,
     )
     soft_u = jnp.concatenate([soft_f, soft_vj], axis=1)
 
-    # ---- assemble full Jacobians: x = [h | q], u ----
-    nrows = nx + N_EQ + ns
-    Jq_flow, Jq_eq, Jq_soft = Jq[:nx], Jq[nx:nx + N_EQ], Jq[nx + N_EQ:]
-    Jx_f = jnp.concatenate([flow_h, Jq_flow], axis=1)
-    C = jnp.concatenate([eq_h, Jq_eq], axis=1)
-    Jsoft_x = jnp.concatenate([soft_h, Jq_soft], axis=1)
+    # ---- analytic base-position (3) columns ----
+    gxy = params.xy_position_gain
+    z_row = jnp.zeros((3, 3), dtype).at[2, 2].set(gxy)      # zero_vel z row
+    eq03_pos = jnp.where(stance3, z_row[None], 0.0)          # (nc,3,3)
+    eq3_pos = jnp.where(
+        swing1, params.position_error_gain * jnp.array([0.0, 0.0, 1.0], dtype), 0.0
+    )  # (nc,3)
+    eq_pos = jnp.concatenate(
+        [eq03_pos, eq3_pos[:, None, :]], axis=1
+    ).reshape(N_EQ, 3)
+    xy_pos = jnp.broadcast_to(
+        jnp.array([[gxy, 0.0, 0.0], [0.0, gxy, 0.0]], dtype)[None], (nc, 2, 3)
+    ).reshape(2 * nc, 3)
+    soft_pos = jnp.concatenate(
+        [jnp.zeros((nc, 3), dtype), xy_pos, jnp.zeros((2 * nj + nc, 3), dtype)],
+        axis=0,
+    )
+    flow_pos = jnp.zeros((nx, 3), dtype)  # flow map is translation-invariant
+
+    # ---- assemble full Jacobians: x = [h | pos | (euler, joints)], u ----
+    Jej_flow, Jej_eq, Jej_soft = Jej[:nx], Jej[nx:nx + N_EQ], Jej[nx + N_EQ:]
+    Jx_f = jnp.concatenate([flow_h, flow_pos, Jej_flow], axis=1)
+    C = jnp.concatenate([eq_h, eq_pos, Jej_eq], axis=1)
+    Jsoft_x = jnp.concatenate([soft_h, soft_pos, Jej_soft], axis=1)
 
     return _finish_linearization(
         model, params, x, u, x_nom, contact_flags, dt,
