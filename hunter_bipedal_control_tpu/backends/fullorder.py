@@ -40,6 +40,9 @@ class SimParams(NamedTuple):
     armature: jnp.ndarray         # reflected rotor/gear inertia per joint
     joint_damping: jnp.ndarray    # implicit joint viscous damping
     delay_steps: int              # actuation delay in substeps (0 = off)
+    # domain-sweep knobs (BASELINE config 5); None = off (statically elided)
+    gravity_delta: jnp.ndarray | None = None  # (3,) extra uniform field (terrain tilt)
+    mass_scale: jnp.ndarray | None = None     # plant link-mass/inertia scale
 
 
 def default_sim_params(dtype=jnp.float32, control_dt=0.002, substeps=8,
@@ -141,11 +144,27 @@ def sim_step(model: RobotModel, params: SimParams, state: SimState,
         tau_gen = tau_gen + jnp.einsum("cij,ci->j", J, f_c)
 
         M = mass_matrix(model, q)
+        h = nle(model, q, v)
+        ms = params.mass_scale
+        if ms is not None:
+            # uniform link mass/inertia scale: M and the inertia-derived
+            # nle/gravity terms scale exactly; contacts and motors do not
+            M = ms * M
+            h = ms * h
+        if params.gravity_delta is not None:
+            # extra uniform field (terrain-tilt): generalized force of a
+            # field a on all link masses is (sum_k m_k Jlin_k)^T a — the
+            # linear block of the CMM
+            from ..models.kinematics import link_com_jacobians
+
+            Jl = link_com_jacobians(model, kin)[:, 0:3, :]     # (L,3,nv)
+            field = jnp.einsum("k,kiv,i->v", model.link_mass.astype(dtype),
+                               Jl, params.gravity_delta)
+            tau_gen = tau_gen + (field if ms is None else ms * field)
         # armature on the actuated diagonal + implicit joint damping
         # (velocity-implicit: fold dt*d into the system matrix)
         arm = jnp.zeros(NV, dtype).at[6:].set(params.armature)
         damp = jnp.zeros(NV, dtype).at[6:].set(params.joint_damping)
-        h = nle(model, q, v)
         A_sys = M + jnp.diag(arm + params.dt * damp)
         rhs = tau_gen - h - damp * v
         from ..ops.linalg import gj_inverse

@@ -70,14 +70,17 @@ class GaitRunState(NamedTuple):
     gait_level: jnp.ndarray     # int32: 0 stance, 1 trot, 3 flying trot
     vel_history: jnp.ndarray    # (VEL_HISTORY,)
     hist_count: jnp.ndarray     # int32 valid sample count
+    gait_scale: jnp.ndarray = 1.0  # cadence scale for domain sweeps (config 5)
 
 
-def init_gait_run_state(dtype=jnp.float32, start_time=0.0, horizon=2.4) -> GaitRunState:
+def init_gait_run_state(dtype=jnp.float32, start_time=0.0, horizon=2.4,
+                        gait_scale=1.0) -> GaitRunState:
     return GaitRunState(
         schedule=tile_template(STANCE_GAIT(), start_time - horizon, start_time + horizon * 4),
         gait_level=jnp.asarray(0, jnp.int32),
         vel_history=jnp.zeros(VEL_HISTORY, dtype),
         hist_count=jnp.asarray(0, jnp.int32),
+        gait_scale=jnp.asarray(gait_scale, dtype),
     )
 
 
@@ -116,8 +119,13 @@ def walk_gait_switch(state: GaitRunState, vel_avg, init_time, final_time) -> Gai
     to_trot = (vel_avg > 0.03) & (vel_avg < 0.4) & (level != 1)
     to_fly = (vel_avg >= 0.4) & (level != 3)
 
-    sched_stance = insert_template(sched, STANCE_GAIT(), insert_t, final_time)
-    sched_trot = insert_template(sched, TROT_GAIT(), insert_t, final_time)
+    from .mode_schedule import scale_template
+
+    s = state.gait_scale
+    sched_stance = insert_template(sched, scale_template(STANCE_GAIT(), s),
+                                   insert_t, final_time)
+    sched_trot = insert_template(sched, scale_template(TROT_GAIT(), s),
+                                 insert_t, final_time)
 
     new_sched = jax.tree.map(
         lambda a, b, c: jnp.where(to_stance, a, jnp.where(to_trot, b, c)),
@@ -136,10 +144,13 @@ def extend_schedule(state: GaitRunState, init_time, final_time) -> GaitRunState:
     )
     need = last_event < final_time
 
+    from .mode_schedule import scale_template
+
     level = state.gait_level
-    tmpl_trot = TROT_GAIT()
-    tmpl_stance = STANCE_GAIT()
-    tmpl_fly = FLYING_TROT_GAIT()
+    s = state.gait_scale
+    tmpl_trot = scale_template(TROT_GAIT(), s)
+    tmpl_stance = scale_template(STANCE_GAIT(), s)
+    tmpl_fly = scale_template(FLYING_TROT_GAIT(), s)
     ext_stance = insert_template(sched, tmpl_stance, last_event, final_time + 2.4, 0.0)
     ext_trot = insert_template(sched, tmpl_trot, last_event, final_time + 2.4, 0.0)
     ext_fly = insert_template(sched, tmpl_fly, last_event, final_time + 2.4, 0.0)

@@ -83,6 +83,16 @@ def make_template(mode_names, switching_times, dtype=jnp.float32) -> GaitTemplat
     )
 
 
+def scale_template(template: GaitTemplate, scale) -> GaitTemplate:
+    """Scale a template's period by ``scale`` (domain sweeps over gait
+    cadence, BASELINE config 5) — switching times are data, so this jits
+    and vmaps."""
+    return template._replace(
+        switching_times=template.switching_times * scale,
+        duration=template.duration * scale,
+    )
+
+
 # the four named gaits of legged_controllers/config/hunter/gait.info
 STANCE_GAIT = lambda: make_template(["STANCE"], [0.0, 0.5])
 TROT_GAIT = lambda: make_template(["L", "R"], [0.0, 0.3, 0.6])

@@ -49,10 +49,16 @@ def cmd_vel_grid(n: int, vx_range=(-0.35, 0.35), vy_range=(-0.15, 0.15),
     return jnp.asarray(cmds)
 
 
-def perturbed_initial_states(n: int, pos_std=0.03, vel_std=0.25, ang_std=0.08,
+def perturbed_initial_states(n: int, pos_std=0.03, vel_std=0.12, ang_std=0.04,
                              seed=1):
     """(n, 22) centroidal states around the nominal stance — push-recovery
-    initial conditions."""
+    initial conditions.
+
+    Default scales are calibrated to the measured recovery envelope of the
+    trot controller on the full-order physics backend (pure-velocity kicks
+    recover up to ~0.25 m/s; combined velocity+tilt kicks interact —
+    2-sigma of these defaults sits at the envelope edge, so the benchmark
+    discriminates rather than saturating at 0% or 100%)."""
     rng = np.random.default_rng(seed)
     x0 = np.concatenate([np.zeros(6), [0, 0, 0.63], np.zeros(3), DJ])
     xs = np.tile(x0, (n, 1))
@@ -150,7 +156,7 @@ class PushRecoveryResult(NamedTuple):
 
 
 def run_push_recovery_sweep(model: RobotModel, n_scenarios: int,
-                            n_periods: int = 50, mesh=None,
+                            n_periods: int = 100, mesh=None,
                             settings: sqp_mod.SqpSettings | None = None,
                             seed=1, chunk_size: int | None = None):
     """Config 4: randomized momentum/pose kicks with the FULL estimator-in-
@@ -174,10 +180,27 @@ def run_push_recovery_sweep(model: RobotModel, n_scenarios: int,
 
     def one(x0):
         q0 = x0[6:]
+        # re-ground: attitude/height kicks rotate the feet through the
+        # ground plane; shift base z so the lowest contact point starts at
+        # +0.5 mm (a buried foot in the stiff contact model launches the
+        # plant and trips the e-stop — that's a spawn artifact, not a push)
+        from ..models.kinematics import contact_positions
+        feet_z = contact_positions(model, fk(model, q0))[:, 2].min()
+        q0 = q0.at[2].add(-feet_z + 5e-4)
         vb = base_velocity_from_momentum(model, fk(model, q0), x0[0:6],
                                          jnp.zeros(model.nj, dtype))
         v0 = jnp.concatenate([vb, jnp.zeros(model.nj, dtype)])
         st = sim_loop.init_sim_loop_state(model, settings, q0, v0)
+        # pre-engage trot: recovery from a kick needs stepping NOW; waiting
+        # for the adaptive switch's next template event (up to one stance
+        # period, as in the reference's findInsertModeSequenceTemplateTimer)
+        # would measure gait-switch latency, not the controller
+        from ..gait.mode_schedule import TROT_GAIT, tile_template
+
+        trot_sched = tile_template(TROT_GAIT(), -settings.horizon,
+                                   4.0 * settings.horizon)
+        st = st._replace(gait=st.gait._replace(
+            schedule=trot_sched, gait_level=jnp.asarray(1, jnp.int32)))
         fin, telem = sim_loop.run_sim_loop(
             model, settings, params, swp.default_swing_config(),
             default_wbc_params(), default_gains(), tg.default_cmd_vel_config(),
@@ -210,6 +233,90 @@ def run_push_recovery_sweep(model: RobotModel, n_scenarios: int,
         chunks.append(jax.tree.map(np.asarray, fn(part)))
     return jax.tree.map(lambda *xs: jnp.concatenate([jnp.asarray(x) for x in xs]),
                         *chunks)
+
+
+class DomainSweepResult(NamedTuple):
+    upright: jnp.ndarray      # (B,)
+    final_vx: jnp.ndarray     # (B,) estimated forward speed at the end
+    min_z: jnp.ndarray        # (B,)
+    estop: jnp.ndarray        # (B,)
+
+
+def run_domain_sweep(model: RobotModel, n_scenarios: int, n_periods: int = 50,
+                     cmd_vx: float = 0.25, mesh=None,
+                     settings: sqp_mod.SqpSettings | None = None, seed=2,
+                     chunk_size: int | None = None):
+    """Config 5: domain sweep over terrain pitch x gait cadence x payload
+    mass, walking at ``cmd_vx`` with the FULL estimator-in-the-loop physics
+    sim.  Terrain pitch tilts the plant's gravity field and mass_scale is
+    applied to the plant only — the controller keeps the nominal model, so
+    this measures robustness to model mismatch.  Shard over a multi-host
+    mesh ('host' x 'device' axes both map onto the batch) for 10k+ pod runs."""
+    from ..backends.fullorder import default_sim_params
+    from ..estim.contact import default_contact_params
+    from ..estim.kalman import default_kalman_params
+    from ..runtime import sim_loop
+
+    settings = settings or sqp_mod.SqpSettings()
+    dtype = jnp.float32
+    dj = jnp.asarray(DJ)
+    qnom = jnp.concatenate([jnp.asarray([0., 0., 0.63], dtype), jnp.zeros(3, dtype), dj])
+    params = ocp.make_input_cost(model, ocp.default_ocp_params(model), qnom)
+    q0 = jnp.concatenate([jnp.asarray([0., 0., 0.624], dtype), jnp.zeros(3, dtype), dj])
+
+    dom = domain_randomization(n_scenarios, seed=seed)
+    cmds = jnp.tile(jnp.asarray([cmd_vx, 0., 0., 0.], dtype)[None], (n_periods, 1))
+    cmds = cmds.at[:10, :].set(0.0)  # ramp-in
+
+    def one(pitch, gscale, mscale):
+        g = 9.81
+        sp = default_sim_params()._replace(
+            gravity_delta=g * jnp.stack(
+                [-jnp.sin(pitch), jnp.zeros_like(pitch), 1.0 - jnp.cos(pitch)]
+            ),
+            mass_scale=mscale,
+        )
+        st = sim_loop.init_sim_loop_state(model, settings, q0)
+        st = st._replace(gait=st.gait._replace(gait_scale=gscale))
+        fin, telem = sim_loop.run_sim_loop(
+            model, settings, params, swp.default_swing_config(),
+            default_wbc_params(), default_gains(), tg.default_cmd_vel_config(),
+            default_kalman_params(), default_contact_params(), sp,
+            rloop.LoopConfig(), st, cmds, n_periods, dj,
+        )
+        qs = telem["q"]
+        upright = (jnp.abs(qs[:, 3:5]).max() < 0.4) & (qs[-1, 2] > 0.5)
+        return DomainSweepResult(
+            upright=upright,
+            final_vx=telem["vx_est"][-1],
+            min_z=telem["base_z"].min(),
+            estop=fin.emergency_stop,
+        )
+
+    if mesh is None:
+        mesh = make_mesh()
+    shard = NamedSharding(mesh, P("data"))
+    fn = jax.jit(jax.vmap(one), in_shardings=shard, out_shardings=shard)
+    args = (dom["terrain_pitch"], dom["gait_scale"], dom["mass_scale"])
+
+    if chunk_size is None or chunk_size >= n_scenarios:
+        return fn(*jax.device_put(args, shard))
+    chunks = []
+    for i in range(0, n_scenarios, chunk_size):
+        part = jax.device_put(tuple(a[i:i + chunk_size] for a in args), shard)
+        chunks.append(jax.tree.map(np.asarray, fn(*part)))
+    return jax.tree.map(lambda *xs: jnp.concatenate([jnp.asarray(x) for x in xs]),
+                        *chunks)
+
+
+def summarize_domain_sweep(res: DomainSweepResult) -> dict:
+    return {
+        "n": int(res.upright.shape[0]),
+        "upright_fraction": float(res.upright.mean()),
+        "estop_fraction": float(res.estop.mean()),
+        "mean_final_vx": float(res.final_vx.mean()),
+        "min_z": float(res.min_z.min()),
+    }
 
 
 def summarize_push_recovery(res: PushRecoveryResult) -> dict:

@@ -80,3 +80,20 @@ def test_push_recovery_sweep_small(hunter_model_f32):
     assert s["n"] == 8
     assert s["estop_fraction"] == 0.0
     assert s["min_z"] > 0.4
+
+
+def test_domain_sweep_small(hunter_model_f32):
+    """Config 5 canned sweep: terrain tilt + gait scale + plant mass
+    mismatch on the physics backend, tiny shapes."""
+    from hunter_bipedal_control_tpu.solver import sqp as sqp_mod
+    from hunter_bipedal_control_tpu.gait.mode_schedule import TROT_GAIT, scale_template
+
+    t = scale_template(TROT_GAIT(), 1.5)
+    np.testing.assert_allclose(float(t.duration), 0.9, rtol=1e-6)
+
+    res = scenarios.run_domain_sweep(
+        hunter_model_f32, 8, n_periods=4,
+        settings=sqp_mod.SqpSettings(n_intervals=8, horizon=0.24))
+    s = scenarios.summarize_domain_sweep(res)
+    assert s["n"] == 8
+    assert s["min_z"] > 0.4

@@ -67,3 +67,33 @@ def test_sim_loop_stance_balance(hunter_model_f32):
     # ground supports the robot
     fz = np.asarray(telem["contact_fz"]).sum(axis=1)
     np.testing.assert_allclose(fz[5:].mean(), 12.5869 * 9.81, rtol=0.15)
+
+
+def test_sim_loop_trot_walk_physics(hunter_model_f32):
+    """In-place trot on the FULL physics backend (config 2 with physics):
+    the loop must step stably, not just balance in stance."""
+    from hunter_bipedal_control_tpu.gait.mode_schedule import TROT_GAIT, tile_template
+
+    m = hunter_model_f32
+    settings = sqp.SqpSettings()
+    qnom = jnp.concatenate([jnp.array([0., 0., 0.63], F32), jnp.zeros(3, F32), DJ])
+    params = ocp.make_input_cost(m, ocp.default_ocp_params(m), qnom)
+    q0 = jnp.concatenate([jnp.array([0., 0., 0.624], F32), jnp.zeros(3, F32), DJ])
+    st = sim_loop.init_sim_loop_state(m, settings, q0)
+    trot = tile_template(TROT_GAIT(), -0.8, 3.2)
+    st = st._replace(gait=st.gait._replace(schedule=trot,
+                                           gait_level=jnp.asarray(1, jnp.int32)))
+    NP = 30  # 0.3 s = one full trot cycle
+    cmds = jnp.zeros((NP, 4), F32)
+    run = jax.jit(lambda s, c: sim_loop.run_sim_loop(
+        m, settings, params, swp.default_swing_config(), default_wbc_params(),
+        default_gains(), tg.default_cmd_vel_config(), default_kalman_params(),
+        default_contact_params(), default_sim_params(), rloop.LoopConfig(),
+        s, c, NP, DJ))
+    fin, telem = run(st, cmds)
+    q = np.asarray(telem["q"])
+    z = np.asarray(telem["base_z"])
+    assert np.isfinite(q).all()
+    assert not bool(fin.emergency_stop)
+    assert z.min() > 0.55 and z.max() < 0.70, (z.min(), z.max())
+    assert np.abs(q[:, 3:5]).max() < 0.15
