@@ -108,6 +108,42 @@ def goal_to_target(goal_pose, observation_state, t_now, cfg: CmdVelConfig,
     return TargetTrajectories(times=times, states=states, inputs=inputs)
 
 
+def body_rotation_to_target(target_euler, observation_state, t_now, cfg: CmdVelConfig,
+                            nu=22, time_to_target=None) -> TargetTrajectories:
+    """bodyRotationToTargetTrajectories (TargetTrajectoriesPublisher.cpp:61-81):
+    hold xy, slew z toward comHeight by at most change_limit, command the
+    target zyx attitude (the gamepad /body_rotation posture mode).
+    target_euler = (yaw, pitch, roll) i.e. the zyx euler target."""
+    dtype = observation_state.dtype
+    current_pose = observation_state[6:12]
+    dz = jnp.clip(cfg.com_height - current_pose[2], -cfg.change_limit, cfg.change_limit)
+    start_pose = jnp.concatenate([
+        current_pose[0:2], (current_pose[2] + dz)[None], target_euler.astype(dtype)])
+    target_pose = jnp.concatenate([
+        current_pose[0:2], cfg.com_height[None], target_euler.astype(dtype)])
+
+    nx = observation_state.shape[0]
+    s0 = jnp.zeros(nx, dtype)
+    s0 = s0.at[6:12].set(start_pose)
+    s0 = s0.at[12:].set(cfg.default_joints)
+    s1 = s0.at[6:12].set(target_pose)
+
+    T = time_to_target if time_to_target is not None else 1.0
+    times = jnp.full((T_NODES,), t_now + T, dtype).at[0].set(t_now)
+    states = jnp.tile(s1[None], (T_NODES, 1)).at[0].set(s0)
+    inputs = jnp.zeros((T_NODES, nu), dtype)
+    return TargetTrajectories(times=times, states=states, inputs=inputs)
+
+
+def cmd_pos_to_target(cmd_euler, observation_state, t_now, cfg: CmdVelConfig,
+                      nu=22, time_to_target=1.0) -> TargetTrajectories:
+    """cmdPosToTargetTrajectories (TargetTrajectoriesPublisher.cpp:134-155):
+    an attitude command (yaw, pitch, roll) at the current xy; z slewed toward
+    comHeight; reaching time = now + TIME_TO_TARGET."""
+    return body_rotation_to_target(
+        cmd_euler, observation_state, t_now, cfg, nu, time_to_target)
+
+
 def cmd_vel_to_target(cmd_vel, observation_state, t_now, horizon,
                       cfg: CmdVelConfig, nu=22) -> TargetTrajectories:
     """cmdVelToTargetTrajectories (.cpp:102-130): rotate the planar command

@@ -2,13 +2,16 @@
 (reference README.md stand-up / /set_walk / cmd_vel procedure) against the
 dummy backend.
 
-    python -m hunter_bipedal_control_tpu.runtime.demo [seconds] [vx]
+    python -m hunter_bipedal_control_tpu.runtime.demo [seconds] [vx] [trace.npz]
+
+An optional third argument saves the telemetry trace to .npz for
+``tools/visualize.py`` (the RViz-visualizer analog).
 """
 import sys
 import time
 
 
-def main(seconds=1.0, vx=0.35, backend_cpu=False):
+def main(seconds=1.0, vx=0.35, backend_cpu=False, trace_path=None):
     import os
 
     import jax
@@ -68,10 +71,26 @@ def main(seconds=1.0, vx=0.35, backend_cpu=False):
           f"vx={x[-1, 0]:+.3f} gait={gl[-1]} estop={bool(fin.emergency_stop)}")
     print(f"wall: {wall:.1f}s for {seconds:.1f}s sim "
           f"({NP} MPC solves + {NP * 5} WBC ticks)")
+    if trace_path:
+        from .telemetry import TraceRecorder
+
+        rec = TraceRecorder()
+        rec.extend_stacked({
+            "t": telem["t"], "base_z": telem["base_z"],
+            "cost": telem["cost"], "violation": telem["violation"],
+            "gait_level": telem["gait_level"],
+            "vx_est": np.asarray(telem["x"])[:, 0],
+            "cmd_vx": cmds[:, 0],
+            # plant pose + joints in the 16-dof q layout for skeleton plots
+            "q": np.asarray(telem["x"])[:, 6:22],
+        })
+        rec.save_npz(trace_path)
+        print(f"trace -> {trace_path} ({len(rec)} periods)")
     return 0
 
 
 if __name__ == "__main__":
     secs = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     vx = float(sys.argv[2]) if len(sys.argv) > 2 else 0.35
-    sys.exit(main(secs, vx))
+    tr = sys.argv[3] if len(sys.argv) > 3 else None
+    sys.exit(main(secs, vx, trace_path=tr))

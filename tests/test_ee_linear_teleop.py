@@ -128,3 +128,26 @@ def test_teleop_mapping_semantics():
 
     np.testing.assert_allclose(teleop.keyboard_cmd_vel("w"), [0.35, 0, 0, 0])
     np.testing.assert_allclose(teleop.keyboard_cmd_vel("x"), [0, 0, 0, 0])
+
+
+def test_body_rotation_target():
+    """bodyRotationToTargetTrajectories parity: z slews toward comHeight by at
+    most change_limit; attitude jumps to target; xy held."""
+    import jax.numpy as jnp
+    from hunter_bipedal_control_tpu.refs import targets as tg
+
+    cfg = tg.default_cmd_vel_config()
+    x = jnp.zeros(22, jnp.float32).at[6].set(0.4).at[7].set(-0.2).at[8].set(0.5)
+    eul = jnp.array([0.3, 0.1, -0.05], jnp.float32)
+    t = tg.body_rotation_to_target(eul, x, 0.0, cfg, time_to_target=2.0)
+    s0, s1 = np.asarray(t.states[0]), np.asarray(t.states[1])
+    # start z moved by exactly +change_limit (0.5 -> 0.63 clipped to 0.05)
+    np.testing.assert_allclose(s0[8], 0.55, atol=1e-6)
+    np.testing.assert_allclose(s1[8], 0.63, atol=1e-6)
+    np.testing.assert_allclose(s0[9:12], [0.3, 0.1, -0.05], atol=1e-6)
+    np.testing.assert_allclose(s0[6:8], [0.4, -0.2], atol=1e-6)
+    np.testing.assert_allclose(s1[6:8], [0.4, -0.2], atol=1e-6)
+    assert float(t.times[0]) == 0.0 and float(t.times[-1]) == 2.0
+    # cmd_pos wrapper is the same trajectory
+    t2 = tg.cmd_pos_to_target(eul, x, 0.0, cfg, time_to_target=2.0)
+    np.testing.assert_allclose(np.asarray(t2.states), np.asarray(t.states))
