@@ -5,7 +5,7 @@ Parity target: legged_interface/src/foot_planner/InverseKinematics.cpp:20-267
 :36-127), rotation IK restricted to the translation null space (:135-231),
 differential IK (:233-251) and foot FK (:253-267).
 
-TPU-first differences: fixed iteration count under lax.scan with a
+TPU-first differences: statically unrolled fixed iteration count with a
 keep-if-improved update instead of data-dependent early exit, damped normal
 equations instead of rank-revealing QR/LU (fixed shapes, batch-friendly),
 and both legs solved simultaneously from one whole-body FK.
@@ -86,9 +86,13 @@ def translation_ik(model: RobotModel, q_init: jnp.ndarray, des_pos: jnp.ndarray,
 
     p0, _, _ = _toe_state(model, q_init)
     err0 = jnp.linalg.norm(p0 - des_pos, axis=1)
-    (q_fin, best_q, _), _ = jax.lax.scan(
-        body, (q_init, q_init, err0), None, length=max_it
-    )
+    # statically unrolled (max_it is 3-5): a lax.scan compiles to an XLA
+    # while loop whose body boundary forces layout copies of the tiny
+    # padded kinematics tensors
+    carry = (q_init, q_init, err0)
+    for _ in range(max_it):
+        carry, _ = body(carry, None)
+    _, best_q, _ = carry
     return best_q
 
 
@@ -138,9 +142,10 @@ def rotation_ik(model: RobotModel, q_init: jnp.ndarray, R_des: jnp.ndarray,
     err0 = jnp.stack(
         [jnp.linalg.norm(rot_err(R0[0])), jnp.linalg.norm(rot_err(R0[1]))]
     )
-    (q_fin, best_q, _), _ = jax.lax.scan(
-        body, (q_init, q_init, err0), None, length=max_it
-    )
+    carry = (q_init, q_init, err0)  # unrolled: see translation_ik
+    for _ in range(max_it):
+        carry, _ = body(carry, None)
+    _, best_q, _ = carry
     return best_q
 
 

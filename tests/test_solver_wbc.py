@@ -209,3 +209,59 @@ def test_kalman_static_convergence(setup):
     assert float(jnp.abs(vel).max()) < 1e-2
     # base height ~ 0.63 + footRadius - foot z at default pose (~0.001)
     assert abs(float(pos[2]) - 0.65) < 0.03
+
+
+def test_model_linesearch_matches_exhaustive(setup):
+    """The model-preselected line search (2 exact merit rollouts) accepts the
+    same steps as the exhaustive 6-candidate search on the warm-started MPC
+    path, and converges identically on stance."""
+    m, settings, params, qnom = setup
+    x0, bundle = _stance_bundle(m, settings, params, qnom)
+    xs, us = sqp.initializer_trajectories(m, settings, bundle, x0)
+    s_ex = settings._replace(linesearch="exhaustive")
+    s_md = settings._replace(linesearch="model")
+
+    sol_ex = sqp.solve(m, s_ex, params, bundle, x0, xs, us)
+    sol_md = sqp.solve(m, s_md, params, bundle, x0, xs, us)
+    assert float(sol_md.step_size) == float(sol_ex.step_size)
+    np.testing.assert_allclose(np.asarray(sol_md.states),
+                               np.asarray(sol_ex.states), atol=1e-6)
+
+    # warm-started re-solves: both reach the same fixed point
+    for _ in range(2):
+        sol_ex = sqp.solve(m, s_ex, params, bundle, x0, sol_ex.states,
+                           sol_ex.inputs[:-1])
+        sol_md = sqp.solve(m, s_md, params, bundle, x0, sol_md.states,
+                           sol_md.inputs[:-1])
+    assert float(sol_md.constraint_violation) < 1e-3
+    np.testing.assert_allclose(np.asarray(sol_md.states),
+                               np.asarray(sol_ex.states), atol=1e-4)
+
+
+def test_model_linesearch_walking(setup):
+    """Model line search on the full walking MPC step (trot schedule, swing
+    refs, IK joint refs): same accepted step and matching trajectories."""
+    m, settings, params, qnom = setup
+    pcfg = swp.default_swing_config(F32)
+    x0 = jnp.concatenate([jnp.zeros(6, F32), qnom])
+    sched = ms.tile_template(ms.TROT_GAIT(), -settings.horizon, 4 * settings.horizon)
+    target = tg.cmd_vel_to_target(
+        jnp.array([0.25, 0., 0., 0.], F32), x0, 0.0, settings.horizon,
+        tg.default_cmd_vel_config(nj=10, dtype=F32))
+
+    def run(s):
+        state = mpc_mod.init_mpc_state(m, s)
+        sol, state, _ = mpc_mod.mpc_step(
+            m, s, params, pcfg, state, sched, target, 0.0, x0,
+            jnp.zeros(6, F32), DJ)
+        sol2, _, _ = mpc_mod.mpc_step(
+            m, s, params, pcfg, state, sched, target, 0.01, sol.states[1],
+            jnp.zeros(6, F32), DJ)
+        return sol, sol2
+
+    sol_ex, sol2_ex = run(settings._replace(linesearch="exhaustive"))
+    sol_md, sol2_md = run(settings._replace(linesearch="model"))
+    assert float(sol_md.step_size) == float(sol_ex.step_size)
+    assert float(sol2_md.step_size) == float(sol2_ex.step_size)
+    np.testing.assert_allclose(np.asarray(sol2_md.states),
+                               np.asarray(sol2_ex.states), atol=1e-4)
