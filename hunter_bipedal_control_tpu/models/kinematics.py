@@ -35,8 +35,12 @@ class KinData(NamedTuple):
     E: jnp.ndarray             # (3, 3) euler-rate map at this configuration
 
 
-def fk(model: RobotModel, q: jnp.ndarray) -> KinData:
-    """Forward kinematics for all links. q: (6+nj,)."""
+def fk_ad(model: RobotModel, q: jnp.ndarray) -> KinData:
+    """Forward kinematics for all links, plain AD-able body. q: (6+nj,).
+
+    Use this variant only to differentiate with respect to MODEL parameters
+    (link geometry/mass studies); the product path uses ``fk``, whose custom
+    JVP is exact in q but rejects model tangents."""
     base_p = q[0:3]
     base_R = rotation_zyx(q[3:6])
     qj = q[6:]
@@ -70,6 +74,62 @@ def fk(model: RobotModel, q: jnp.ndarray) -> KinData:
         com_w=com_w,
         E=euler_rate_map_zyx(q[3:6]),
     )
+
+
+def fk(model: RobotModel, q: jnp.ndarray) -> KinData:
+    """Forward kinematics for all links. q: (6+nj,).
+
+    Carries a custom JVP in q: FK tangents have exact closed forms in terms
+    of the *primal* kinematics (world point velocity = point Jacobian @ q̇;
+    Ṙ = ω× R; world-vector rate = ω_parent × vec — exact because v ≡ q̇ in
+    the zyx-euler-rate parameterization).  This turns every jacfwd through
+    the sequential 10-joint chain (the SQP knot linearization runs 13
+    tangents of it per knot — the solver's dominant cost) into a handful of
+    batched matvecs against Jacobians the primal pass already builds.
+    The model is closed over: differentiating w.r.t. model parameters
+    through this function raises (use ``fk_ad``)."""
+
+    @jax.custom_jvp
+    def _fk_q(q_):
+        return fk_ad(model, q_)
+
+    def _jvp(primals, tangents):
+        """Exact FK tangents from primal-pass Jacobians.
+
+        dq is a generalized-velocity-like tangent [dpos(3), deuler(3),
+        dqj(nj)]:
+          - link origins / CoMs: linear point-Jacobian rows @ dq
+          - link rotations:      dR_l = skew(om_l) R_l, om_l = angular rows @ dq
+          - joint axes/anchors:  rotate/translate with the PARENT link
+          - E map:               closed-form jvp of euler_rate_map_zyx
+        """
+        import numpy as np
+
+        (q_,), (dq,) = primals, tangents
+        kin = _fk_q(q_)
+
+        Jl = _point_jacobians(model, kin, kin.p, np.arange(model.n_links))
+        dp = jnp.einsum("lij,j->li", Jl[:, 0:3, :], dq)
+        om = jnp.einsum("lij,j->li", Jl[:, 3:6, :], dq)                  # (L,3)
+        dR = jnp.einsum("lij,ljk->lik", _skew_batch(om), kin.R)
+
+        parents = np.asarray(model.joint_parent)
+        Janc = _point_jacobians(model, kin, kin.joint_pos_w, parents)
+        danchor = jnp.einsum("lij,j->li", Janc[:, 0:3, :], dq)
+        daxis = jnp.cross(om[parents], kin.joint_axis_w)
+
+        Jcom = link_com_jacobians(model, kin)
+        dcom = jnp.einsum("lij,j->li", Jcom[:, 0:3, :], dq)
+
+        from .spatial import euler_rate_map_zyx
+
+        _, dE = jax.jvp(euler_rate_map_zyx, (q_[3:6],), (dq[3:6],))
+
+        return kin, KinData(R=dR, p=dp, joint_axis_w=daxis,
+                            joint_pos_w=danchor, com_w=dcom, E=dE)
+
+    _fk_q.defjvp(_jvp)
+    return _fk_q(q)
 
 
 def frame_placements(model: RobotModel, kin: KinData):
