@@ -32,7 +32,13 @@ from ..models.centroidal import (
     state_input_to_v,
     state_to_q,
 )
-from ..models.kinematics import contact_jacobians, contact_positions, fk
+from ..models.kinematics import (
+    _skew_batch,
+    contact_jacobians,
+    contact_positions,
+    fk,
+    link_com_jacobians,
+)
 from ..models.robot import GRAVITY, RobotModel
 from . import penalties
 
@@ -442,12 +448,11 @@ def knot_linearization_fused(model: RobotModel, params: OcpParams, x, u, x_nom,
                              contact_flags, foot_pos_ref, foot_vel_ref, dt):
     """Everything the SQP needs at one knot — the solver hot path.
 
-    Structure-exploiting linearization: every row of (flow, eq, soft) is
-    *linear* in the normalized momentum h = x[0:6] and in the input
-    u = [forces(12), vj(nj)] once the configuration q = x[6:] is fixed
-    (the friction cone is the one u-nonlinearity, and it is closed-form).
-    So forward-mode AD runs over the 16 q tangents only — 2.75x fewer than
-    the naive (nx+nu)=44-tangent pass — and the h/u Jacobian columns are
+    Structure-exploiting linearization — NO AD tangent fan-out at all.
+    Every row of (flow, eq, soft) is *linear* in the normalized momentum
+    h = x[0:6] and in the input u = [forces(12), vj(nj)] once the
+    configuration q = x[6:] is fixed (the friction cone is the one
+    u-nonlinearity, and it is closed-form), so the h/u Jacobian columns are
     assembled analytically from quantities of the same kinematics pass:
 
         vb = Ab(q)^-1 (m h - Aj(q) vj)   =>  dvb/dh = m Ab^-1 =: Vh,
@@ -456,8 +461,12 @@ def knot_linearization_fused(model: RobotModel, params: OcpParams, x, u, x_nom,
                                              dv_ci/dvj = J_i[:,:6] Vv + J_i[:,6:] =: W_i
         hdot_ang: d/df_i = skew(p_ci - p_com)/m;  cone: d/df analytic.
 
-    This replaces the reference's CppAD codegen Jacobians
-    (LeggedRobotDynamicsAD.cpp:46-74) at a fraction of the AD cost."""
+    The remaining q-columns (base euler + joints) are closed-form too —
+    see the inline derivation below — so the whole 74x44 Jacobian costs
+    roughly one extra kinematics tangent instead of the 44 (or even 13)
+    a jacfwd pass needs.  This replaces the reference's CppAD codegen
+    Jacobians (LeggedRobotDynamicsAD.cpp:46-74) at a fraction of the AD
+    cost.  Exactness oracle: ``knot_linearization_fused_ad``."""
     from ..models.spatial import skew
 
     nx = x.shape[0]
@@ -470,24 +479,7 @@ def knot_linearization_fused(model: RobotModel, params: OcpParams, x, u, x_nom,
     forces = contact_forces(u, nc)
     vj = joint_velocities(u, nj)
 
-    # Base POSITION columns are closed-form too: the flow map is
-    # translation-invariant (p_c - p_com cancels the shift, the CMM and all
-    # Jacobians depend on relative geometry only), so only the position-gain
-    # terms of the constraint rows see base position — AD runs over the 13
-    # (euler, joints) tangents only.
-    pos = q[0:3]
-
-    def rows_q(q_ej):
-        x_ = jnp.concatenate([h, pos, q_ej])
-        flow, g, _, soft = combined_rows(
-            model, params, x_, u, contact_flags, foot_pos_ref, foot_vel_ref
-        )
-        return jnp.concatenate([flow, g, soft])
-
-    Jej = jax.jacfwd(rows_q)(q[3:])       # (nrows, nq-3) — the only AD pass
-
-    # ---- primal + analytic-column ingredients (one kinematics pass; XLA
-    # CSEs the duplicate subgraph against the jacfwd primal) ----
+    # ---- primal + analytic-column ingredients (one kinematics pass) ----
     kin = fk(model, q)
     from ..models.centroidal import (
         base_block_solve,
@@ -626,8 +618,114 @@ def knot_linearization_fused(model: RobotModel, params: OcpParams, x, u, x_nom,
     )
     flow_pos = jnp.zeros((nx, 3), dtype)  # flow map is translation-invariant
 
+    # ---- closed-form (euler, joint) Jacobian columns --------------------
+    # Every row is velocity-level, so its q-dependence enters through world
+    # positions (p_c, p_com -> primal Jacobians), through J(q) v̄ products,
+    # and through A(q) v̄ inside the implicit vb solve.  Two exact identities
+    # remove the AD tangent fan-out entirely:
+    #
+    # 1. MIXED-PARTIAL SYMMETRY.  The linear point-Jacobian rows are exact
+    #    gradients of world positions in these coordinates (the euler
+    #    columns -skew(p - p_b) E(θ) ARE ∂p/∂θ), so
+    #        D_q[J_lin(q) v̄] = ∂²p · v̄ = d/dε J_lin(q + ε v̄)
+    #    — ONE jvp along the primal generalized velocity v̄ replaces 13
+    #    coordinate tangents, simultaneously for the contact points, the
+    #    link CoMs, and A_lin = m ∂p_com/∂q.
+    #
+    # 2. ANGULAR-MOMENTUM BLOCK.  A_ang v̄ = Σ_k I_k^w ω_k + m_k r_k × v_ck
+    #    is not integrable, but its q-Jacobian is closed-form in primal
+    #    quantities: with ã_ki the i-th angular-Jacobian column of link k
+    #    (dR_k/dq_i = skew(ã_ki) R_k),
+    #        D_q[I_k^w ω_k]_i = ã_ki × h_k − I_k^w (ã_ki × ω_k)
+    #                           + I_k^w ∂ω_k/∂q_i
+    #    where ∂ω_k/∂q_i = a_i × (ω_k − ω_child(i)) for joint coordinates
+    #    (only axes strictly below joint i rotate with it) and
+    #    E_i × (ω_k − ω_base) + (∂E/∂θ_i) v̄_e for the euler coordinates.
+    #
+    # Then the implicit-function rule on Ab(q) vb = m h − Aj(q) vj gives
+    # dvb = −Ab⁻¹ D_q[A v̄], and dv_c = D_q[J_c v̄] + J_c[:, :6] dvb.
+    from ..models.spatial import euler_rate_map_zyx
+
+    vbar = v
+
+    def _vel_quants(q_):
+        kin_ = fk(model, q_)
+        return (
+            centroidal_momentum_matrix(model, kin_),
+            contact_jacobians(model, kin_)[:, 0:3, :],
+            link_com_jacobians(model, kin_)[:, 0:3, :],
+        )
+
+    Adot, Jcdot, Jcomdot = jax.jvp(_vel_quants, (q,), (vbar,))[1]
+
+    L = model.n_links
+    Jcom_full = link_com_jacobians(model, kin)            # (L,6,nq)
+    Jcomlin, Jang = Jcom_full[:, 0:3, :], Jcom_full[:, 3:6, :]
+    omega = jnp.einsum("kiv,v->ki", Jang, vbar)           # (L,3)
+    Iw = jnp.einsum("kij,kjl,kml->kim", kin.R, model.link_inertia, kin.R)
+    hk = jnp.einsum("kij,kj->ki", Iw, omega)              # (L,3)
+    vck = jnp.einsum("kiv,v->ki", Jcomlin, vbar)          # (L,3)
+    A_lin = Acmm[0:3]
+    Jcom_lin = A_lin / m                                  # ∂p_com/∂q
+    r_com = kin.com_w - p_com[None]                       # (L,3)
+
+    # ∂ω_k/∂q (L,3,nq): zero base-position block | euler | joints
+    dE = jax.jacfwd(euler_rate_map_zyx)(q[3:6])           # (3,3,3), last = θ_i
+    dEve = jnp.einsum("abi,b->ai", dE, vbar[3:6])         # (3, 3_i)
+    w_e = jnp.cross(
+        kin.E.T[None, :, :], (omega - omega[0][None])[:, None, :]
+    ).transpose(0, 2, 1) + dEve[None]                     # (L,3,3)
+    omc = omega[model.joint_child]                        # (nj,3)
+    anc = jnp.asarray(model.ancestor_mask, dtype)         # (L,nj)
+    w_j = (jnp.cross(kin.joint_axis_w[None, :, :],
+                     omega[:, None, :] - omc[None, :, :])
+           * anc[:, :, None]).transpose(0, 2, 1)          # (L,3,nj)
+    w_q = jnp.concatenate([jnp.zeros((L, 3, 3), dtype), w_e, w_j], axis=2)
+
+    # D_q[A_ang v̄] (3,nq)
+    JangT = Jang.transpose(0, 2, 1)                       # (L,nq,3) = ã_ki
+    t_rot = jnp.cross(JangT, hk[:, None, :]) - jnp.einsum(
+        "kab,kvb->kva", Iw, jnp.cross(JangT, omega[:, None, :]))
+    t_w = jnp.einsum("kab,kbv->kva", Iw, w_q)
+    drv = (Jcomlin - Jcom_lin[None]).transpose(0, 2, 1)   # (L,nq,3)
+    t_r = (jnp.cross(drv, vck[:, None, :])
+           + jnp.cross(r_com[:, None, :], Jcomdot.transpose(0, 2, 1))
+           ) * model.link_mass[:, None, None]
+    dAang = (t_rot + t_w + t_r).sum(0).T                  # (3,nq)
+    dAv = jnp.concatenate([Adot[0:3], dAang], axis=0)     # (6,nq) = D_q[A v̄]
+
+    dvb = base_block_solve(model, Ab, -dAv)               # (6,nq)
+    dvc = Jcdot + jnp.einsum("cik,kv->civ", Jlin[:, :, 0:6], dvb)  # (nc,3,nq)
+
+    # flow rows: [0(3); d hdot_ang; dvb; 0(nj)]
+    dhdot_ang = -jnp.einsum(
+        "cab,cbv->av", _skew_batch(forces), Jlin - Jcom_lin[None]) / m
+    Jq_flow = jnp.concatenate(
+        [jnp.zeros((3, nq), dtype), dhdot_ang, dvb,
+         jnp.zeros((nj, nq), dtype)], axis=0)
+
+    # eq rows (where-selected like the primal; eq_mask zeros stance row3)
+    zv_q = dvc + jnp.concatenate(
+        [jnp.zeros((nc, 2, nq), dtype),
+         params.xy_position_gain * Jlin[:, 2:3, :]], axis=1)
+    nvel_q = dvc[:, 2, :] + params.position_error_gain * Jlin[:, 2, :]
+    Jq_eq = jnp.concatenate(
+        [jnp.where(stance3, zv_q, 0.0),
+         jnp.where(swing1, nvel_q, 0.0)[:, None, :]], axis=1
+    ).reshape(N_EQ, nq)
+
+    # soft rows: [cone 0; xy; qj identity; vj 0; fz 0]
+    xy_q = (dvc[:, 0:2, :]
+            + params.xy_position_gain * Jlin[:, 0:2, :]).reshape(2 * nc, nq)
+    qj_q = jnp.concatenate(
+        [jnp.zeros((nj, 6), dtype), jnp.eye(nj, dtype=dtype)], axis=1)
+    Jq_soft = jnp.concatenate(
+        [jnp.zeros((nc, nq), dtype), xy_q, qj_q,
+         jnp.zeros((nj + nc, nq), dtype)], axis=0)
+
+    Jej_flow, Jej_eq, Jej_soft = Jq_flow[:, 3:], Jq_eq[:, 3:], Jq_soft[:, 3:]
+
     # ---- assemble full Jacobians: x = [h | pos | (euler, joints)], u ----
-    Jej_flow, Jej_eq, Jej_soft = Jej[:nx], Jej[nx:nx + N_EQ], Jej[nx + N_EQ:]
     Jx_f = jnp.concatenate([flow_h, flow_pos, Jej_flow], axis=1)
     C = jnp.concatenate([eq_h, eq_pos, Jej_eq], axis=1)
     Jsoft_x = jnp.concatenate([soft_h, soft_pos, Jej_soft], axis=1)
