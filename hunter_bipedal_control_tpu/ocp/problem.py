@@ -386,6 +386,234 @@ def stage_merit_fused(model: RobotModel, params: OcpParams, x, u, x_nom,
     return cost, xnext, g_masked
 
 
+def _soft_penalty_terms_last(model, params: OcpParams, h, contact_flags):
+    """Axis-last variant of _soft_penalty_terms: h (..., ns),
+    contact_flags (..., nc) -> (p, dp, d2p, mask) each (..., ns)."""
+    nj = model.nj
+    i0, i1, i2, i3 = 4, 12, 12 + nj, 12 + 2 * nj
+
+    p_cone, d_cone, dd_cone = penalties.relaxed_barrier(
+        h[..., 0:i0], params.cone_mu, params.cone_delta
+    )
+    p_xy, d_xy, dd_xy = penalties.quadratic(h[..., i0:i1], params.swing_weight)
+    p_pos, d_pos, dd_pos = penalties.double_sided_relaxed_barrier(
+        h[..., i1:i2], params.joint_lower, params.joint_upper,
+        params.pos_limit_mu, params.pos_limit_delta,
+    )
+    p_vel, d_vel, dd_vel = penalties.double_sided_relaxed_barrier(
+        h[..., i2:i3], -params.joint_vel_limit, params.joint_vel_limit,
+        params.vel_limit_mu, params.vel_limit_delta,
+    )
+    p_f, d_f, dd_f = penalties.double_sided_relaxed_barrier(
+        h[..., i3:], 0.0, params.force_z_max, params.force_limit_mu,
+        params.force_limit_delta,
+    )
+    cat = lambda *ts: jnp.concatenate(ts, axis=-1)
+    p = cat(p_cone, p_xy, p_pos, p_vel, p_f)
+    dp = cat(d_cone, d_xy, d_pos, d_vel, d_f)
+    d2p = cat(dd_cone, dd_xy, dd_pos, dd_vel, dd_f)
+    swing = 1.0 - contact_flags
+    ones = jnp.ones_like(h[..., 0:1])
+    mask = cat(contact_flags, jnp.repeat(swing, 2, axis=-1),
+               jnp.broadcast_to(ones, h[..., : 2 * nj].shape),
+               jnp.broadcast_to(ones, h[..., :4].shape))
+    return p, dp, d2p, mask
+
+
+def weight_compensating_input_batch(model: RobotModel, contact_flags, nu):
+    """Axis-last batched utils.h:73-93: contact_flags (..., nc) -> (..., nu)."""
+    n_stance = jnp.maximum(contact_flags.sum(-1, keepdims=True), 1.0)
+    fz = model.total_mass * GRAVITY / n_stance * contact_flags     # (..., nc)
+    zero = jnp.zeros_like(fz)
+    forces = jnp.stack([zero, zero, fz], axis=-1).reshape(*fz.shape[:-1], -1)
+    rest = jnp.zeros((*fz.shape[:-1], nu - 3 * NUM_FEET), fz.dtype)
+    return jnp.concatenate([forces, rest], axis=-1)
+
+
+def stage_merit_batch(model: RobotModel, params: OcpParams, xs, us, x_nom,
+                      contact_flags, foot_pos_ref, foot_vel_ref, dt):
+    """Batch-polymorphic stage_merit_fused over any leading axes, on the
+    scalarized SoA core (models/soa.py): the line-search merit hot path runs
+    as full-width elementwise vector ops instead of padded (3,)/(3,3) tiles.
+    Oracle-tested against stage_merit_fused."""
+    from ..models import soa
+
+    flow, g_masked, _, soft = soa.combined_rows_arrays(
+        model, params, xs, us, contact_flags, foot_pos_ref, foot_vel_ref
+    )
+    nu = us.shape[-1]
+    u_nom = weight_compensating_input_batch(model, contact_flags, nu)
+    dx = xs - x_nom
+    du = us - u_nom
+    p, _, _, mask = _soft_penalty_terms_last(model, params, soft, contact_flags)
+    cost = (
+        0.5 * jnp.einsum("...i,ij,...j->...", dx, params.Q, dx)
+        + 0.5 * jnp.einsum("...i,ij,...j->...", du, params.R, du)
+        + jnp.sum(mask * p, axis=-1)
+    )
+    k2 = soa.flow_arrays(model, xs + dt * flow, us)
+    xnext = xs + 0.5 * dt * (flow + k2)
+    return cost, xnext, g_masked
+
+
+def knot_linearization_batch(model: RobotModel, params: OcpParams, xs, us,
+                             x_nom, flags, fpr, fvr, dt):
+    """Batch-polymorphic knot_linearization_fused on the scalarized SoA core
+    (models/soa.py): the FK/CMM/dual chain runs as full-width elementwise
+    vector ops over ANY leading batch axes (scenario x knot), with only the
+    dense 22-dim algebra (RK2 sensitivity, GGN quadratics) left to batched
+    MXU matmuls.  Same outputs as vmapped knot_linearization_fused;
+    oracle-tested against knot_linearization_fused_ad."""
+    from ..models import soa
+
+    ing = soa.linearization_arrays(model, params, xs, us, flags, fpr, fvr)
+    S = xs.shape[:-1]
+    nx = xs.shape[-1]
+    nu = us.shape[-1]
+    nc, nj = NUM_FEET, model.nj
+    nq = nx - 6
+    dtype = xs.dtype
+    m = float(model.total_mass)
+
+    def z(*sh):
+        return jnp.zeros(S + sh, dtype)
+
+    def bcast(a, *sh):
+        return jnp.broadcast_to(jnp.asarray(a, dtype), S + sh)
+
+    flow0, g0 = ing["flow0"], ing["g0"]
+    eq_mask, soft0 = ing["eq_mask"], ing["soft0"]
+    Vh, Vv, dvb = ing["Vh"], ing["Vv"], ing["dvb"]
+    Jc, Jcdot = ing["Jc"], ing["Jcdot"]
+    p_c, p_com = ing["p_c"], ing["p_com"]
+    forces = us[..., : 3 * nc].reshape(*S, nc, 3)
+
+    H = jnp.einsum("...cij,...jk->...cik", Jc[..., 0:6], Vh)       # (...,nc,3,6)
+    W = jnp.einsum("...cij,...jk->...cik", Jc[..., 0:6], Vv) + Jc[..., 6:]
+    dvc = Jcdot + jnp.einsum("...cij,...jk->...cik", Jc[..., 0:6], dvb)
+
+    # Jcom = dp_com/dq: [I | A12/m-block is inside dvb path; rebuild from Jc
+    # is wrong] — use the weighted CMM linear rows via the identity
+    # A_lin = m Jcom; its pos block is I and the rest comes with the
+    # ingredients through dvb?  Cheaper: hdot_ang derivative directly:
+    # d/dq sum_i (p_ci - p_com) x f_i = -sum_i skew(f_i) (Jc_i - Jcom).
+    # sum_i skew(f_i) Jcom = skew(sum f) Jcom; Jcom = A_lin/m with
+    # A_lin cols assembled in the SoA pass — exported as ing["Jcom"].
+    Jcom = ing["Jcom"]                                              # (...,3,nq)
+
+    def skew_b(v):
+        zz = jnp.zeros_like(v[..., 0])
+        return jnp.stack([
+            jnp.stack([zz, -v[..., 2], v[..., 1]], axis=-1),
+            jnp.stack([v[..., 2], zz, -v[..., 0]], axis=-1),
+            jnp.stack([-v[..., 1], v[..., 0], zz], axis=-1),
+        ], axis=-2)
+
+    dhdot_ang = -jnp.einsum(
+        "...cab,...cbv->...av", skew_b(forces), Jc - Jcom[..., None, :, :]
+    ) / m                                                           # (...,3,nq)
+
+    # ---- q-column blocks ----
+    gxy = params.xy_position_gain
+    gn = params.position_error_gain
+    stance3 = (flags > 0.5)[..., None, None]                        # (...,nc,1,1)
+    swing1 = (flags < 0.5)[..., None]                               # (...,nc,1)
+    zv_q = dvc + jnp.concatenate(
+        [z(nc, 2, nq), gxy * Jc[..., 2:3, :]], axis=-2)
+    nvel_q = dvc[..., 2, :] + gn * Jc[..., 2, :]                    # (...,nc,nq)
+    Jq_eq = jnp.concatenate(
+        [jnp.where(stance3, zv_q, 0.0),
+         jnp.where(swing1, nvel_q, 0.0)[..., None, :]], axis=-2
+    ).reshape(*S, N_EQ, nq)
+    xy_q = (dvc[..., 0:2, :] + gxy * Jc[..., 0:2, :]).reshape(*S, 2 * nc, nq)
+    qj_q = bcast(np.concatenate([np.zeros((nj, 6)), np.eye(nj)], axis=1), nj, nq)
+    Jq_soft = jnp.concatenate(
+        [z(nc, nq), xy_q, qj_q, z(nj, nq), z(nc, nq)], axis=-2)
+    Jq_flow = jnp.concatenate(
+        [z(3, nq), dhdot_ang, dvb, z(nj, nq)], axis=-2)
+
+    # ---- h-column blocks ----
+    flow_h = jnp.concatenate([z(6, 6), Vh, z(nj, 6)], axis=-2)
+    eq_h = jnp.concatenate(
+        [jnp.where(stance3, H, 0.0),
+         jnp.where(swing1, H[..., 2, :], 0.0)[..., None, :]], axis=-2
+    ).reshape(*S, N_EQ, 6)
+    soft_h = jnp.concatenate(
+        [z(nc, 6), H[..., 0:2, :].reshape(*S, 2 * nc, 6), z(2 * nj + nc, 6)],
+        axis=-2)
+
+    Jx_f = jnp.concatenate([flow_h, Jq_flow], axis=-1)              # (...,nx,nx)
+    C = jnp.concatenate([eq_h, Jq_eq], axis=-1)                     # (...,16,nx)
+    Jsoft_x = jnp.concatenate([soft_h, Jq_soft], axis=-1)
+
+    # ---- u-column blocks (same structure as knot_linearization_fused) ----
+    dang = jnp.moveaxis(skew_b(p_c - p_com[..., None, :]), -3, -2).reshape(
+        *S, 3, 3 * nc) / m
+    flow_f = jnp.concatenate(
+        [bcast(np.tile(np.eye(3) / m, (1, nc)), 3, 3 * nc), dang,
+         z(6 + nj, 3 * nc)], axis=-2)
+    flow_vj = jnp.concatenate(
+        [z(6, nj), Vv, bcast(np.eye(nj), nj, nj)], axis=-2)
+    flow_u = jnp.concatenate([flow_f, flow_vj], axis=-1)
+
+    sel_f = np.einsum("ci,jk->cjik", np.eye(nc), np.eye(3)).reshape(nc, 3, 3 * nc)
+    eq03_f = jnp.where(stance3, 0.0, bcast(sel_f, nc, 3, 3 * nc))
+    eq_f = jnp.concatenate([eq03_f, z(nc, 1, 3 * nc)], axis=-2).reshape(
+        *S, N_EQ, 3 * nc)
+    eq03_vj = jnp.where(stance3, W, 0.0)
+    eq3_vj = jnp.where(swing1, W[..., 2, :], 0.0)
+    eq_vj = jnp.concatenate([eq03_vj, eq3_vj[..., None, :]], axis=-2).reshape(
+        *S, N_EQ, nj)
+    eq_u = jnp.concatenate([eq_f, eq_vj], axis=-1)
+
+    s_cone = jnp.sqrt(forces[..., 0] ** 2 + forces[..., 1] ** 2
+                      + params.cone_regularization)                 # (...,nc)
+    cone_df = jnp.stack(
+        [-forces[..., 0] / s_cone, -forces[..., 1] / s_cone,
+         jnp.broadcast_to(params.friction_coeff, s_cone.shape).astype(dtype)],
+        axis=-1)                                                    # (...,nc,3)
+    cone_f = (cone_df[..., None, :] * jnp.eye(nc, dtype=dtype)[:, :, None]
+              ).reshape(*S, nc, 3 * nc)
+    fz_sel = (np.eye(nc)[:, :, None] * np.array([0.0, 0.0, 1.0])).reshape(
+        nc, 3 * nc)
+    soft_f = jnp.concatenate(
+        [cone_f, z(2 * nc + 2 * nj, 3 * nc), bcast(fz_sel, nc, 3 * nc)],
+        axis=-2)
+    soft_vj = jnp.concatenate(
+        [z(nc, nj), W[..., 0:2, :].reshape(*S, 2 * nc, nj), z(nj, nj),
+         bcast(np.eye(nj), nj, nj), z(nc, nj)], axis=-2)
+    soft_u = jnp.concatenate([soft_f, soft_vj], axis=-1)
+
+    # ---- dense tail: RK2 sensitivity + exact RK2 primal + GGN quadratic ----
+    eye_nx = jnp.eye(nx, dtype=dtype)
+    A = eye_nx + dt * Jx_f + (0.5 * dt * dt) * jnp.einsum(
+        "...ij,...jk->...ik", Jx_f, Jx_f)
+    B = dt * flow_u + (0.5 * dt * dt) * jnp.einsum(
+        "...ij,...jk->...ik", Jx_f, flow_u)
+
+    k2 = soa.flow_arrays(model, xs + dt * flow0, us)
+    xnext = xs + 0.5 * dt * (flow0 + k2)
+
+    u_nom = weight_compensating_input_batch(model, flags, nu)
+    dx = xs - x_nom
+    du = us - u_nom
+    p, dp, d2p, mask = _soft_penalty_terms_last(model, params, soft0, flags)
+    w1 = mask * dp
+    w2 = mask * d2p
+    cost = (0.5 * jnp.einsum("...i,ij,...j->...", dx, params.Q, dx)
+            + 0.5 * jnp.einsum("...i,ij,...j->...", du, params.R, du)
+            + jnp.sum(mask * p, axis=-1))
+    qx = jnp.einsum("...i,ij->...j", dx, params.Q) + jnp.einsum(
+        "...ri,...r->...i", Jsoft_x, w1)
+    qu = jnp.einsum("...i,ij->...j", du, params.R) + jnp.einsum(
+        "...ri,...r->...i", soft_u, w1)
+    Qxx = params.Q + jnp.einsum("...ri,...r,...rj->...ij", Jsoft_x, w2, Jsoft_x)
+    Quu = params.R + jnp.einsum("...ri,...r,...rj->...ij", soft_u, w2, soft_u)
+    Qux = jnp.einsum("...ri,...r,...rj->...ij", soft_u, w2, Jsoft_x)
+
+    return xnext, A, B, cost, qx, qu, Qxx, Quu, Qux, g0, C, eq_u, eq_mask
+
+
 def knot_linearization_fused_ad(model: RobotModel, params: OcpParams, x, u, x_nom,
                                 contact_flags, foot_pos_ref, foot_vel_ref, dt):
     """Pure-AD oracle for `knot_linearization_fused`: one jacfwd over the

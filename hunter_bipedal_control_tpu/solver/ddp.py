@@ -77,17 +77,13 @@ def solve(model: RobotModel, settings: DdpSettings, params: ocp.OcpParams,
     def iteration(carry, _):
         xs, us = carry
 
-        # --- linearize along the trajectory (shared fused pass) ---
-        def knot(k):
-            out = ocp.knot_linearization_fused(
-                model, params, xs[k], us[k], refs.x_nom[k],
-                refs.contact_flags[k], refs.foot_pos_ref[k],
-                refs.foot_vel_ref[k], dt,
+        # --- linearize along the trajectory (one batched SoA pass) ---
+        (xnext, A, B, cost_k, qx, qu, Qxx, Quu, Qux, g, C, D, gmask) = (
+            ocp.knot_linearization_batch(
+                model, params, xs[:N], us, refs.x_nom[:N],
+                refs.contact_flags[:N], refs.foot_pos_ref[:N],
+                refs.foot_vel_ref[:N], dt,
             )
-            return out
-
-        (xnext, A, B, cost_k, qx, qu, Qxx, Quu, Qux, g, C, D, gmask) = jax.vmap(knot)(
-            jnp.arange(N)
         )
         qx, qu, Qxx, Quu, Qux = jax.tree.map(
             lambda a: dt * a, (qx, qu, Qxx, Quu, Qux)

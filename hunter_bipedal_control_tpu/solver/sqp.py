@@ -117,43 +117,40 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
     nx = xs_ws.shape[1]
     nu = us_ws.shape[1]
 
-    def knot_linearization(x, u, x_nom, flags, fpr, fvr):
-        """All per-knot LQ data in one fused jacobian pass
-        (ocp.knot_linearization_fused) with dt-scaled cost quadratics."""
+    def knot_linearization_all(xs, us):
+        """All per-knot LQ data over the horizon in ONE batched SoA pass
+        (ocp.knot_linearization_batch) with dt-scaled cost quadratics."""
         (xnext, A, B, cost, qx, qu, Qxx, Quu, Qux, g, C, D, mask) = (
-            ocp.knot_linearization_fused(
-                model, params, x, u, x_nom, flags, fpr, fvr, dt
+            ocp.knot_linearization_batch(
+                model, params, xs[:N], us, refs.x_nom[:N],
+                refs.contact_flags[:N], refs.foot_pos_ref[:N],
+                refs.foot_vel_ref[:N], dt,
             )
         )
         cost, qx, qu, Qxx, Quu, Qux = jax.tree.map(
             lambda a: dt * a, (cost, qx, qu, Qxx, Quu, Qux)
         )
-        C = C * mask[:, None]
-        D = D * mask[:, None]
+        C = C * mask[..., None]
+        D = D * mask[..., None]
         return xnext, A, B, cost, qx, qu, Qxx, Quu, Qux, g, C, D, mask
 
     def eval_merit(xs, us):
-        """(total cost, constraint 1-norm metric) of a trajectory — one fused
-        kinematics pass per knot (ocp.stage_merit_fused)."""
-        costs, xnext, eq_res = jax.vmap(
-            lambda k: ocp.stage_merit_fused(
-                model, params, xs[k], us[k], refs.x_nom[k], refs.contact_flags[k],
-                refs.foot_pos_ref[k], refs.foot_vel_ref[k], dt,
-            )
-        )(jnp.arange(N))
+        """(total cost, constraint 1-norm metric) of a trajectory — one
+        batched SoA kinematics pass over all N knots (ocp.stage_merit_batch;
+        scalarized layout, see models/soa.py)."""
+        costs, xnext, eq_res = ocp.stage_merit_batch(
+            model, params, xs[:N], us, refs.x_nom[:N], refs.contact_flags[:N],
+            refs.foot_pos_ref[:N], refs.foot_vel_ref[:N], dt,
+        )
         defects = xs[1:] - xnext
         g_metric = jnp.abs(defects).sum() / N + jnp.abs(eq_res).sum() / N
         return dt * costs.sum(), g_metric
 
     def sqp_iteration(carry, _):
         xs, us = carry
-        ks = jnp.arange(N)
-        (xnext, A, B, cost_k, qx, qu, Qxx, Quu, Qux, g, C, D, gmask) = jax.vmap(
-            lambda k: knot_linearization(
-                xs[k], us[k], refs.x_nom[k], refs.contact_flags[k],
-                refs.foot_pos_ref[k], refs.foot_vel_ref[k],
-            )
-        )(ks)
+        (xnext, A, B, cost_k, qx, qu, Qxx, Quu, Qux, g, C, D, gmask) = (
+            knot_linearization_all(xs, us)
+        )
         defects = xnext - xs[1:]  # d_k = Phi(x_k,u_k) - x_{k+1}
 
         # ---- constraint projection (fixed shape) ----
