@@ -71,7 +71,7 @@ def sub(a, b):
     if _isf(b) and b == 0.0:
         return a
     if _isf(a) and a == 0.0:
-        return -b if not _isf(b) else -b
+        return -b
     return a - b
 
 
@@ -200,8 +200,25 @@ def _v3(a):
     return tuple(float(x) for x in np.asarray(a))
 
 
+def _model_fingerprint(model: RobotModel) -> bytes:
+    """Content hash of every array build_consts reads — a stable cache key
+    (id(model) can be reused by a new object after garbage collection)."""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(np.int64([model.nj, model.n_links]).tobytes())
+    for a in (model.joint_parent, model.joint_child, model.ancestor_mask,
+              model.frame_parent, model.contact_frame_ids):
+        h.update(np.ascontiguousarray(np.asarray(a)).tobytes())
+    for a in (model.joint_axis, model.joint_origin_pos, model.joint_origin_rot,
+              model.link_com, model.link_mass, model.link_inertia,
+              model.frame_pos, model.frame_rot):
+        h.update(np.ascontiguousarray(np.asarray(a, dtype=np.float64)).tobytes())
+    return h.digest()
+
+
 def build_consts(model: RobotModel) -> SoaConsts:
-    key = id(model)
+    key = _model_fingerprint(model)
     if key in _CONSTS_CACHE:
         return _CONSTS_CACHE[key]
     nj, L = model.nj, model.n_links
@@ -384,9 +401,9 @@ def base_momentum_block(c: SoaConsts, kin: SoaKin, p_com, Iw):
     GE = mm(G, kin.E)
     # -m * skew(p_com - p_b) @ E
     s = vsub(p_com, pb)
-    skew_s = [[0.0, -s[2] if not _isf(s[2]) else -s[2], s[1]],
-              [s[2], 0.0, -s[0] if not _isf(s[0]) else -s[0]],
-              [-s[1] if not _isf(s[1]) else -s[1], s[0], 0.0]]
+    skew_s = [[0.0, -s[2], s[1]],
+              [s[2], 0.0, -s[0]],
+              [-s[1], s[0], 0.0]]
     A12 = mscale(-m, mm(skew_s, kin.E))
     return A12, GE  # A_lin translational block is m*I, A_ang translational 0
 
@@ -763,10 +780,6 @@ def linearization_ingredients(c: SoaConsts, rows: SoaRows, x, u):
     # dE_i @ th_dot: columns of dE/dtheta_i applied to th_dot
     # E depends on (z=theta0, y=theta1): dE/dz = [[0,-cz,-sz*cy],[0,-sz,cz*cy],[0,0,0]]
     # dE/dy = [[0,0,-cz*sy],[0,0,-sz*sy],[0,0,-cy]]
-    dEv = [
-        [mul(-cz, zd) if False else add(mul(-cz, th_dot[1] * 0.0), 0.0)
-         for _ in range(1)],
-    ]
     # build dE_i @ th_dot explicitly (i = 0: z, 1: y, 2: x -> zero)
     dE_z_v = [add(mul(-cz, th_dot[1]), mul(-sz * cy, th_dot[2])),
               add(mul(-sz, th_dot[1]), mul(cz * cy, th_dot[2])),

@@ -117,10 +117,13 @@ def body_rotation_to_target(target_euler, observation_state, t_now, cfg: CmdVelC
     dtype = observation_state.dtype
     current_pose = observation_state[6:12]
     dz = jnp.clip(cfg.com_height - current_pose[2], -cfg.change_limit, cfg.change_limit)
+    # the reference uses the change-limit-clipped z for the TARGET state too
+    # (cmdPosToTargetTrajectories builds targetPose with currentPose(2)+dz,
+    # TargetTrajectoriesPublisher.cpp:134-155 -> :61-86), not comHeight —
+    # so start and target poses coincide: hold xy, slewed z, target attitude
     start_pose = jnp.concatenate([
         current_pose[0:2], (current_pose[2] + dz)[None], target_euler.astype(dtype)])
-    target_pose = jnp.concatenate([
-        current_pose[0:2], cfg.com_height[None], target_euler.astype(dtype)])
+    target_pose = start_pose
 
     nx = observation_state.shape[0]
     s0 = jnp.zeros(nx, dtype)

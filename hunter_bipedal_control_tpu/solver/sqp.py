@@ -53,7 +53,12 @@ class SqpSettings(NamedTuple):
     # merit rollouts instead of 6 (the exhaustive line search measured ~44%
     # of the batched solve; see docs/DESIGN.md).  'exhaustive': evaluate the
     # exact merit at every alpha (strict OCS2 FilterLinesearch parity; tests
-    # assert both modes accept the same steps on the MPC path).
+    # assert both modes accept the same steps on the MPC path).  When the
+    # model rejects every alpha, the exact evaluation probes the model-best
+    # alpha (+ quarter step) rather than alpha_min; a mid-range step the
+    # exhaustive filter would accept can still be missed in pathological
+    # cases — tests/test_linesearch_parity.py bounds the divergence on
+    # randomized scenarios.
     linesearch: str = "model"
 
 
@@ -274,8 +279,16 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
             g_m = (1.0 - alphas_all) * g0
             accept_m = filter_accept(cost_m, g_m, alphas_all)
             idx_m = jnp.argmax(accept_m)
+            # if the model rejects EVERY alpha (essentially only the pure-
+            # armijo regime with a model-ascent direction), probe the alpha
+            # the model scores best (violation when g0 is high, cost
+            # otherwise) instead of blindly taking alpha_min — a mid-range
+            # alpha the exhaustive filter would accept is then reachable;
+            # the exact filter_accept below still guards acceptance
+            score_m = jnp.where(g0 > settings.g_max, g_m, cost_m)
+            score_m = jnp.where(jnp.isfinite(score_m), score_m, jnp.inf)
             alpha_hat = jnp.where(jnp.any(accept_m), alphas_all[idx_m],
-                                  alphas_all[-1])
+                                  alphas_all[jnp.argmin(score_m)])
             alphas = jnp.stack([alpha_hat, 0.25 * alpha_hat])
         else:
             alphas = jnp.asarray(settings.alphas, xs.dtype)

@@ -67,6 +67,9 @@ class WbcParams(NamedTuple):
     weight_base_accel: jnp.ndarray  # 1
     weight_contact_force: jnp.ndarray  # 0
     qp_iters: int = 18
+    # relative primal-residual acceptance (scaled by the constraint rhs
+    # magnitude); above it the last-solution fallback engages
+    qp_accept_tol: float = 5e-3
 
 
 def default_wbc_params(dtype=jnp.float32) -> WbcParams:
@@ -251,7 +254,13 @@ def wbc_update(model: RobotModel, params: WbcParams, state: WbcState,
 
     sol = solve_qp(H, g, Aeq, beq, Ain, bin_, n_iters=params.qp_iters)
 
-    ok = jnp.isfinite(sol.x).all() & (sol.primal_residual < 1.0)
+    # acceptance mirrors qpOASES' status check (WeightedWbc.cpp:57-64): the
+    # residual threshold scales with the constraint right-hand side (the EoM
+    # rows carry nle forces of O(100) N) instead of a fixed absolute 1.0 —
+    # a barely-converged QP on a small-magnitude problem now falls back to
+    # the last solution rather than being trusted
+    res_scale = 1.0 + jnp.maximum(jnp.abs(beq).max(), jnp.abs(bin_).max())
+    ok = jnp.isfinite(sol.x).all() & (sol.primal_residual < params.qp_accept_tol * res_scale)
     x = jnp.where(ok & jnp.isfinite(sol.x).all(), sol.x,
                   jnp.where(state.has_last, state.last_solution, jnp.zeros(NDEC, dtype)))
     new_state = WbcState(last_solution=x, has_last=jnp.asarray(True))
