@@ -70,6 +70,12 @@ class OcpParams(NamedTuple):
     joint_lower: jnp.ndarray       # (nj,)
     joint_upper: jnp.ndarray
     joint_vel_limit: jnp.ndarray
+    # self-collision soft constraint (LeggedInterface.cpp:452-490): None
+    # mirrors the reference's empty collisionPairs list (task.info:270-287);
+    # set to an ocp.self_collision.CollisionConfig to enable.  The solver
+    # adds the state-only relaxed-barrier term at its linearization/merit
+    # call sites (solver/sqp.py).
+    collision: object = None
 
 
 def default_ocp_params(model: RobotModel, dtype=jnp.float32) -> OcpParams:

@@ -132,6 +132,13 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
                 refs.foot_vel_ref[:N], dt,
             )
         )
+        if params.collision is not None:
+            # self-collision soft term (state-only), assembled at the
+            # problem level like the reference (LeggedInterface.cpp:452-490)
+            from ..ocp import self_collision as sc
+            p_c, qx_c, Qxx_c = sc.collision_quadratic_batch(
+                model, params.collision, xs[:N])
+            cost, qx, Qxx = cost + p_c, qx + qx_c, Qxx + Qxx_c
         cost, qx, qu, Qxx, Quu, Qux = jax.tree.map(
             lambda a: dt * a, (cost, qx, qu, Qxx, Quu, Qux)
         )
@@ -147,6 +154,10 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
             model, params, xs[:N], us, refs.x_nom[:N], refs.contact_flags[:N],
             refs.foot_pos_ref[:N], refs.foot_vel_ref[:N], dt,
         )
+        if params.collision is not None:
+            from ..ocp import self_collision as sc
+            costs = costs + sc.collision_penalty_batch(
+                model, params.collision, xs[:N])
         defects = xs[1:] - xnext
         g_metric = jnp.abs(defects).sum() / N + jnp.abs(eq_res).sum() / N
         return dt * costs.sum(), g_metric
