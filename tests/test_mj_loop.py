@@ -1,0 +1,91 @@
+"""Closed-loop validation against real MuJoCo physics (the reference's own
+hunter.xml) — the cross-engine ground truth the reference operates on
+(mujoco/src/main.cc:266-430 + LeggedMujocoSim.cpp:29-67).
+
+The controller sees MuJoCo *sensors only* (IMU + encoders), so these tests
+exercise the Kalman filter and momentum observer against independent
+physics, not the builder's own plant."""
+import numpy as np
+import pytest
+
+mujoco = pytest.importorskip("mujoco")
+
+from hunter_bipedal_control_tpu.runtime.mj_loop import MjClosedLoop, Segment
+
+WEIGHT = 12.5869 * 9.81
+
+
+@pytest.fixture(scope="module")
+def stand_walk_telemetry():
+    """One shared run: 1.0 s stance hold -> walk 2.5 s at 0.3 m/s."""
+    loop = MjClosedLoop()
+    telem = loop.run([
+        Segment(1.0, (0., 0., 0., 0.), set_walk=False),
+        Segment(0.5, (0., 0., 0., 0.), set_walk=True),
+        Segment(2.5, (0.3, 0., 0., 0.), set_walk=True),
+    ])
+    return loop, telem
+
+
+@pytest.mark.slow
+def test_stand_on_mujoco(stand_walk_telemetry):
+    """Stance hold: upright, at height, supported by ~weight."""
+    loop, telem = stand_walk_telemetry
+    t = telem["t"]
+    stand = (t > 0.4) & (t < 1.0)
+    z = telem["base_z"][stand]
+    assert z.min() > 0.60 and z.max() < 0.68
+    zyx = telem["q"][stand][:, 3:6]
+    assert np.abs(zyx).max() < 0.06
+    fz_total = telem["contact_fz"][stand].sum(axis=1)
+    np.testing.assert_allclose(fz_total.mean(), WEIGHT, rtol=0.1)
+    # all four contact points classified in contact by the observer chain
+    assert telem["est_contact"][stand][-1].all()
+
+
+@pytest.mark.slow
+def test_walk_on_mujoco(stand_walk_telemetry):
+    """Walking at 0.3 m/s on MuJoCo: stays up, tracks, makes progress."""
+    loop, telem = stand_walk_telemetry
+    assert not bool(loop.estop)
+    t = telem["t"]
+    assert telem["base_z"].min() > 0.55          # never collapses
+    late = t > t[-1] - 1.0
+    vx = telem["v"][late, 0]
+    assert 0.1 < vx.mean() < 0.55                # tracks the command
+    assert telem["q"][-1, 0] > 0.3               # net forward progress
+    # trot engaged (gait level left stance)
+    assert telem["gait_level"][-1] >= 1
+
+
+@pytest.mark.slow
+def test_kalman_tracks_mujoco_ground_truth(stand_walk_telemetry):
+    """The 18/28 KF base estimate (from IMU+encoders only) stays within a
+    few cm / cm-per-s of MuJoCo's ground truth through stand + walk."""
+    loop, telem = stand_walk_telemetry
+    t = telem["t"]
+    sel = t > 0.3   # skip the initial settle transient
+    # x_est layout: centroidal [h(6), pose(6), joints(10)]
+    est_pos = telem["x_est"][sel][:, 6:9]
+    true_pos = telem["q"][sel][:, 0:3]
+    err = np.abs(est_pos - true_pos)
+    assert err[:, 2].max() < 0.03                # height: tightly observed
+    assert err[:, 0:2].max() < 0.10              # xy: dead-reckoned, drifts
+
+
+@pytest.mark.slow
+def test_push_recovery_on_mujoco():
+    """A 30 N / 0.1 s lateral shove during stance: the robot recovers
+    (stays upright, height returns) — the reference's interactive MuJoCo
+    push test as a scripted scenario."""
+    loop = MjClosedLoop()
+    loop.run([Segment(0.6, (0., 0., 0., 0.), set_walk=False)], record=False)
+    loop.plant.apply_push([0.0, 30.0, 0.0], duration=0.1)
+    telem = loop.run([Segment(1.4, (0., 0., 0., 0.), set_walk=False)])
+    assert not bool(loop.estop)
+    z = telem["base_z"]
+    assert z.min() > 0.5
+    # settles back: last 0.3 s nearly level and at height
+    tail = telem["t"] > telem["t"][-1] - 0.3
+    assert np.abs(telem["q"][tail][:, 3:5]).max() < 0.12
+    assert abs(z[tail].mean() - 0.645) < 0.03
