@@ -19,9 +19,31 @@ from ..models.robot import RobotModel
 from ..ocp.problem import OcpParams, default_ocp_params, make_input_cost
 from ..refs.swing_planner import SwingConfig
 from ..refs.targets import CmdVelConfig
+from ..solver.ddp import DdpSettings
 from ..solver.sqp import SqpSettings
 from ..wbc.wbc import WbcParams
 from . import info
+
+
+class IpmSettings(NamedTuple):
+    """Multiple-shooting IPM settings parity (task.info:97-129, loaded by
+    the reference at LeggedInterface.cpp:93-95 — like the reference, parsed
+    and carried but the product solver is SQP)."""
+
+    n_intervals: int = 53
+    horizon: float = 0.8
+    n_iterations: int = 1              # ipmIteration
+    g_max: float = 10.0
+    g_min: float = 1e-6
+    initial_barrier: float = 1e-4      # initialBarrierParameter
+    target_barrier: float = 1e-4
+    barrier_decrease_factor: float = 0.2
+    barrier_superlinear_power: float = 1.5
+    fraction_to_boundary: float = 0.995
+    initial_slack_lower_bound: float = 1e-4
+    initial_dual_lower_bound: float = 1e-4
+    initial_slack_margin_rate: float = 1e-2
+    initial_dual_margin_rate: float = 1e-2
 
 
 class FrameworkConfig(NamedTuple):
@@ -35,6 +57,10 @@ class FrameworkConfig(NamedTuple):
     gaits: dict            # name -> GaitTemplate
     default_joints: jnp.ndarray
     initial_state: jnp.ndarray
+    # settings-parity blocks (loaded like the reference; SQP is the product
+    # solver in both): ddp -> solver/ddp.py SLQ, ipm -> parsed only
+    ddp: DdpSettings = DdpSettings()
+    ipm: IpmSettings = IpmSettings()
 
 
 def load_task_config(model: RobotModel, task_path: str, reference_path: str | None = None,
@@ -52,6 +78,43 @@ def load_task_config(model: RobotModel, task_path: str, reference_path: str | No
         n_intervals=max(int(round(horizon / dt)), 2),
         horizon=horizon,
         n_iterations=int(info.get(t, "sqp.sqpIteration", 1)),
+        g_max=float(info.get(t, "sqp.g_max", 1e-2)),
+        g_min=float(info.get(t, "sqp.g_min", 1e-6)),
+    )
+
+    # --- ddp + ipm settings parity (LeggedInterface.cpp:93-95) ---
+    ddp_dt = float(info.get(t, "ddp.timeStep", dt))
+    ddp_settings = DdpSettings(
+        n_intervals=max(int(round(horizon / ddp_dt)), 2),
+        horizon=horizon,
+        n_iterations=int(info.get(t, "ddp.maxNumIterations", 1)),
+        hess_reg=float(info.get(t, "ddp.lineSearch.hessianCorrectionMultiple",
+                                1e-5)),
+        min_step=float(info.get(t, "ddp.lineSearch.minStepLength", 1e-2)),
+    )
+    ipm_dt = float(info.get(t, "ipm.dt", dt))
+    ipm_settings = IpmSettings(
+        n_intervals=max(int(round(horizon / ipm_dt)), 2),
+        horizon=horizon,
+        n_iterations=int(info.get(t, "ipm.ipmIteration", 1)),
+        g_max=float(info.get(t, "ipm.g_max", 10.0)),
+        g_min=float(info.get(t, "ipm.g_min", 1e-6)),
+        initial_barrier=float(info.get(t, "ipm.initialBarrierParameter", 1e-4)),
+        target_barrier=float(info.get(t, "ipm.targetBarrierParameter", 1e-4)),
+        barrier_decrease_factor=float(
+            info.get(t, "ipm.barrierLinearDecreaseFactor", 0.2)),
+        barrier_superlinear_power=float(
+            info.get(t, "ipm.barrierSuperlinearDecreasePower", 1.5)),
+        fraction_to_boundary=float(
+            info.get(t, "ipm.fractionToBoundaryMargin", 0.995)),
+        initial_slack_lower_bound=float(
+            info.get(t, "ipm.initialSlackLowerBound", 1e-4)),
+        initial_dual_lower_bound=float(
+            info.get(t, "ipm.initialDualLowerBound", 1e-4)),
+        initial_slack_margin_rate=float(
+            info.get(t, "ipm.initialSlackMarginRate", 1e-2)),
+        initial_dual_margin_rate=float(
+            info.get(t, "ipm.initialDualMarginRate", 1e-2)),
     )
 
     # --- OCP weights ---
@@ -182,4 +245,6 @@ def load_task_config(model: RobotModel, task_path: str, reference_path: str | No
         gaits=gaits,
         default_joints=default_joints,
         initial_state=x_init,
+        ddp=ddp_settings,
+        ipm=ipm_settings,
     )

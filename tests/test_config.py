@@ -75,3 +75,14 @@ def test_load_reference_task_info(hunter_model_f32):
     np.testing.assert_allclose(float(cfg.initial_state[8]), 0.63)
     # R got mapped through the foot jacobian (joint block nonzero)
     assert float(jnp.abs(cfg.ocp.R[12:, 12:]).max()) > 0.0
+    # ddp + ipm settings parity (LeggedInterface.cpp:93-95)
+    assert cfg.sqp.g_max == 1e-2 and cfg.sqp.g_min == 1e-6
+    assert cfg.ddp.n_iterations == 1
+    assert cfg.ddp.hess_reg == 1e-5 and cfg.ddp.min_step == 1e-2
+    assert cfg.ipm.n_iterations == 1
+    assert cfg.ipm.g_max == 10.0
+    assert cfg.ipm.initial_barrier == 1e-4
+    assert cfg.ipm.barrier_decrease_factor == 0.2
+    assert cfg.ipm.barrier_superlinear_power == 1.5
+    assert cfg.ipm.fraction_to_boundary == 0.995
+    assert cfg.ipm.initial_slack_margin_rate == 1e-2
