@@ -62,11 +62,21 @@ class SimLoopState(NamedTuple):
     emergency_stop: jnp.ndarray
     last_cmd_vel: jnp.ndarray
     last_torque: jnp.ndarray  # (10,) applied torques for the observer
+    # sensor-noise state (backends.sensor_noise.NoiseState) or None =
+    # noise-free sensing (the reference Gazebo plugin's actual behavior)
+    noise: object = None
 
 
 def init_sim_loop_state(model: RobotModel, settings: sqp_mod.SqpSettings,
-                        q0, v0=None, t0=0.0) -> SimLoopState:
+                        q0, v0=None, t0=0.0, noise_params=None,
+                        noise_seed=0) -> SimLoopState:
     dtype = q0.dtype
+    if noise_params is not None:
+        from ..backends import sensor_noise as sn
+
+        noise = sn.init_noise_state(noise_params, noise_seed, dtype)
+    else:
+        noise = None
     nx = 12 + model.nj
     nu = 12 + model.nj
     kf = init_kalman_state(dtype)
@@ -88,25 +98,40 @@ def init_sim_loop_state(model: RobotModel, settings: sqp_mod.SqpSettings,
         emergency_stop=jnp.asarray(False),
         last_cmd_vel=jnp.zeros(4, dtype),
         last_torque=jnp.zeros(NJ, dtype),
+        noise=noise,
     )
 
 
-def _sense_and_estimate(model, kf_params, st: SimLoopState, schedule, t, dt):
+def _sense_and_estimate(model, kf_params, st: SimLoopState, schedule, t, dt,
+                        noise_params=None):
     """LeggedController::updateStateEstimation parity (:280-349): read sim
-    sensors, run the KF, assemble rbdState + centroidal observation."""
+    sensors (optionally corrupted per the Gazebo-declared covariances),
+    run the KF, assemble rbdState + centroidal observation."""
     plant = st.plant
     quat, omega_local, accel_local = synth_imu(model, plant)
-    zyx = plant.q[3:6]
-    omega_world = global_angular_velocity_from_euler_rates(zyx, plant.v[3:6])
+    qj, vj = plant.q[6:], plant.v[6:]
+    nstate = st.noise
+    if noise_params is not None:
+        from ..backends import sensor_noise as sn
+        from ..models.spatial import quat_to_zyx, rotation_zyx
+
+        nstate, quat, omega_local, accel_local, qj, vj = sn.corrupt(
+            noise_params, nstate, quat, omega_local, accel_local, qj, vj, dt)
+        # like the reference, orientation comes from the (noisy) IMU quat
+        zyx = quat_to_zyx(quat)
+        omega_world = rotation_zyx(zyx) @ omega_local
+    else:
+        zyx = plant.q[3:6]
+        omega_world = global_angular_velocity_from_euler_rates(zyx, plant.v[3:6])
     cmd_contact = jnp.asarray(MODE_CONTACTS, plant.q.dtype)[mode_at_time(schedule, t)]
 
     kf, pos, vel = kalman_update(
-        model, kf_params, st.kalman, zyx, plant.q[6:], plant.v[6:],
+        model, kf_params, st.kalman, zyx, qj, vj,
         omega_world, quat, accel_local, cmd_contact, dt,
     )
-    rbd = jnp.concatenate([zyx, pos, plant.q[6:], omega_world, vel, plant.v[6:]])
+    rbd = jnp.concatenate([zyx, pos, qj, omega_world, vel, vj])
     x_est = rbd_state_to_centroidal(model, rbd)
-    return kf, rbd, x_est, cmd_contact
+    return kf, rbd, x_est, cmd_contact, nstate
 
 
 def run_sim_loop(model: RobotModel, settings: sqp_mod.SqpSettings,
@@ -115,8 +140,10 @@ def run_sim_loop(model: RobotModel, settings: sqp_mod.SqpSettings,
                  cmd_cfg: tg.CmdVelConfig, kf_params: KalmanParams,
                  obs_params: ContactObserverParams, sim_params: SimParams,
                  cfg: LoopConfig, state: SimLoopState, cmd_vel_seq,
-                 n_mpc_steps: int, default_joints):
-    """Run n_mpc_steps MPC periods of physics-in-the-loop simulation."""
+                 n_mpc_steps: int, default_joints, noise_params=None):
+    """Run n_mpc_steps MPC periods of physics-in-the-loop simulation.
+    ``noise_params``: optional backends.sensor_noise.SensorNoiseParams;
+    requires state.noise to be an initialized NoiseState."""
     dtype = state.plant.q.dtype
 
     def mpc_period(carry, inp):
@@ -125,8 +152,9 @@ def run_sim_loop(model: RobotModel, settings: sqp_mod.SqpSettings,
         t = st.plant.t
 
         # estimate current state for the solver
-        kf0, rbd0, x_est, _ = _sense_and_estimate(
-            model, kf_params, st, st.gait.schedule, t, cfg.control_dt
+        kf0, rbd0, x_est, _, nst0 = _sense_and_estimate(
+            model, kf_params, st, st.gait.schedule, t, cfg.control_dt,
+            noise_params,
         )
 
         cmd_vel = tg.filter_cmd_vel(cmd_vel_raw, st.last_cmd_vel, cmd_cfg)
@@ -150,11 +178,12 @@ def run_sim_loop(model: RobotModel, settings: sqp_mod.SqpSettings,
         )
 
         def tick(tc, j):
-            plant, kf, obs, wbc_state, estop, last_tau = tc
+            plant, kf, obs, wbc_state, estop, last_tau, nst = tc
             tt = plant.t
-            st_tick = st._replace(plant=plant, kalman=kf)
-            kf, rbd, x_now, cmd_contact = _sense_and_estimate(
-                model, kf_params, st_tick, gait.schedule, tt, cfg.control_dt
+            st_tick = st._replace(plant=plant, kalman=kf, noise=nst)
+            kf, rbd, x_now, cmd_contact, nst = _sense_and_estimate(
+                model, kf_params, st_tick, gait.schedule, tt, cfg.control_dt,
+                noise_params,
             )
             obs, _ = momentum_observer_update(
                 model, obs_params, obs, rbd, last_tau, cfg.control_dt
@@ -183,16 +212,17 @@ def run_sim_loop(model: RobotModel, settings: sqp_mod.SqpSettings,
                 + out.command.kd * (out.command.vel_des - plant.v[6:])
             )
             return (
-                (plant, kf, obs, wbc_state, out.emergency_stop, tau_applied),
+                (plant, kf, obs, wbc_state, out.emergency_stop, tau_applied,
+                 nst),
                 (plant.q[2], x_now[0], est_contact, early, late),
             )
 
-        (plant, kf, obs, wbc_state, estop, last_tau), (
+        (plant, kf, obs, wbc_state, estop, last_tau, nst), (
             zs, vxs, est_contacts, earlies, lates
         ) = jax.lax.scan(
             tick,
             (st.plant, kf0, st.observer, st.wbc_state, st.emergency_stop,
-             st.last_torque),
+             st.last_torque, nst0),
             jnp.arange(cfg.ticks_per_mpc),
         )
 
@@ -200,11 +230,14 @@ def run_sim_loop(model: RobotModel, settings: sqp_mod.SqpSettings,
             plant=plant, kalman=kf, observer=obs, mpc_state=mpc_state,
             wbc_state=wbc_state, gait=gait, policy=sol,
             emergency_stop=estop, last_cmd_vel=cmd_vel, last_torque=last_tau,
+            noise=nst,
         )
         telem = {
             "t": t,
             "base_z": zs[-1],
             "vx_est": vxs[-1],
+            # KF base-position error vs ground truth (sensor-noise telemetry)
+            "est_pos_err": jnp.linalg.norm(kf.x_hat[0:3] - plant.q[0:3]),
             "q": plant.q,
             "v": plant.v,
             "cost": sol.cost,
