@@ -133,7 +133,7 @@ def run_cmd_vel_sweep(model: RobotModel, n_scenarios: int, n_periods: int = 60,
 
     if mesh is None:
         mesh = make_mesh()
-    shard = NamedSharding(mesh, P("data"))
+    shard = NamedSharding(mesh, P(tuple(mesh.axis_names)))
     fn = jax.jit(jax.vmap(one), in_shardings=shard, out_shardings=shard)
 
     if chunk_size is None or chunk_size >= n_scenarios:
@@ -158,10 +158,14 @@ class PushRecoveryResult(NamedTuple):
 def run_push_recovery_sweep(model: RobotModel, n_scenarios: int,
                             n_periods: int = 100, mesh=None,
                             settings: sqp_mod.SqpSettings | None = None,
-                            seed=1, chunk_size: int | None = None):
+                            seed=1, chunk_size: int | None = None,
+                            sensor_noise: bool = False):
     """Config 4: randomized momentum/pose kicks with the FULL estimator-in-
     the-loop physics sim (KF + momentum observer + WBC + PD motors +
-    contacts), zero velocity command — measure recovery to quiet stance."""
+    contacts), zero velocity command — measure recovery to quiet stance.
+    ``sensor_noise=True`` corrupts IMU/encoders per the Gazebo-declared
+    covariances (legged_gazebo/config/default.yaml) with per-scenario
+    biases."""
     from ..backends.fullorder import default_sim_params
     from ..estim.contact import default_contact_params
     from ..estim.kalman import default_kalman_params
@@ -177,8 +181,14 @@ def run_push_recovery_sweep(model: RobotModel, n_scenarios: int,
 
     x0s = perturbed_initial_states(n_scenarios, seed=seed)
     cmds = jnp.zeros((n_periods, 4), dtype)
+    noise_params = None
+    if sensor_noise:
+        from ..backends import sensor_noise as sn
 
-    def one(x0):
+        noise_params = sn.default_sensor_noise_params(dtype)
+    noise_seeds = jnp.arange(n_scenarios, dtype=jnp.uint32) + 1000 * seed
+
+    def one(x0, noise_seed):
         q0 = x0[6:]
         # re-ground: attitude/height kicks rotate the feet through the
         # ground plane; shift base z so the lowest contact point starts at
@@ -190,7 +200,9 @@ def run_push_recovery_sweep(model: RobotModel, n_scenarios: int,
         vb = base_velocity_from_momentum(model, fk(model, q0), x0[0:6],
                                          jnp.zeros(model.nj, dtype))
         v0 = jnp.concatenate([vb, jnp.zeros(model.nj, dtype)])
-        st = sim_loop.init_sim_loop_state(model, settings, q0, v0)
+        st = sim_loop.init_sim_loop_state(model, settings, q0, v0,
+                                          noise_params=noise_params,
+                                          noise_seed=noise_seed)
         # pre-engage trot: recovery from a kick needs stepping NOW; waiting
         # for the adaptive switch's next template event (up to one stance
         # period, as in the reference's findInsertModeSequenceTemplateTimer)
@@ -206,6 +218,7 @@ def run_push_recovery_sweep(model: RobotModel, n_scenarios: int,
             default_wbc_params(), default_gains(), tg.default_cmd_vel_config(),
             default_kalman_params(), default_contact_params(),
             default_sim_params(), rloop.LoopConfig(), st, cmds, n_periods, dj,
+            noise_params=noise_params,
         )
         qs = telem["q"]                       # (n_periods, 16)
         tilt = jnp.abs(qs[:, 3:6]).max()
@@ -222,15 +235,16 @@ def run_push_recovery_sweep(model: RobotModel, n_scenarios: int,
 
     if mesh is None:
         mesh = make_mesh()
-    shard = NamedSharding(mesh, P("data"))
+    shard = NamedSharding(mesh, P(tuple(mesh.axis_names)))
     fn = jax.jit(jax.vmap(one), in_shardings=shard, out_shardings=shard)
 
     if chunk_size is None or chunk_size >= n_scenarios:
-        return fn(jax.device_put(x0s, shard))
+        return fn(*jax.device_put((x0s, noise_seeds), shard))
     chunks = []
     for i in range(0, n_scenarios, chunk_size):
-        part = jax.device_put(x0s[i:i + chunk_size], shard)
-        chunks.append(jax.tree.map(np.asarray, fn(part)))
+        part = jax.device_put((x0s[i:i + chunk_size],
+                               noise_seeds[i:i + chunk_size]), shard)
+        chunks.append(jax.tree.map(np.asarray, fn(*part)))
     return jax.tree.map(lambda *xs: jnp.concatenate([jnp.asarray(x) for x in xs]),
                         *chunks)
 
@@ -295,7 +309,7 @@ def run_domain_sweep(model: RobotModel, n_scenarios: int, n_periods: int = 50,
 
     if mesh is None:
         mesh = make_mesh()
-    shard = NamedSharding(mesh, P("data"))
+    shard = NamedSharding(mesh, P(tuple(mesh.axis_names)))
     fn = jax.jit(jax.vmap(one), in_shardings=shard, out_shardings=shard)
     args = (dom["terrain_pitch"], dom["gait_scale"], dom["mass_scale"])
 

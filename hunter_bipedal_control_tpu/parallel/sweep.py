@@ -55,3 +55,37 @@ def sweep_summary(metrics: jnp.ndarray):
     """Cross-shard reduction example: mean/max over the sharded batch —
     XLA inserts the ICI collectives."""
     return {"mean": metrics.mean(), "max": metrics.max(), "min": metrics.min()}
+
+
+def batch_spec(mesh: Mesh) -> P:
+    """PartitionSpec sharding a leading batch axis over ALL mesh axes —
+    works for the 1-axis ('data',) mesh and the multi-host
+    ('host','device') mesh alike."""
+    return P(tuple(mesh.axis_names))
+
+
+def psum_telemetry(metrics_tree, mesh: Mesh):
+    """Explicit-collective telemetry reduction: shard_map over every mesh
+    axis, per-shard partial sums, one `psum` riding ICI/DCN per leaf.
+    Returns replicated means — the cross-host reduction path for pod-scale
+    domain sweeps (TPU-native analog of the reference's ROS telemetry
+    aggregation, SURVEY.md §2.2 'Distributed backend')."""
+    from jax.experimental.shard_map import shard_map
+
+    names = tuple(mesh.axis_names)
+    spec = batch_spec(mesh)
+
+    def reduce_shard(tree):
+        def one(x):
+            s = jnp.sum(x, axis=0, keepdims=True)
+            n = jnp.full((1,), x.shape[0], jnp.float32)
+            s = jax.lax.psum(s, names)
+            n = jax.lax.psum(n, names)
+            return (s / n)[0]
+
+        return jax.tree.map(one, tree)
+
+    fn = shard_map(reduce_shard, mesh=mesh,
+                   in_specs=(jax.tree.map(lambda _: spec, metrics_tree),),
+                   out_specs=jax.tree.map(lambda _: P(), metrics_tree))
+    return jax.jit(fn)(metrics_tree)
