@@ -2,6 +2,7 @@
 reference's MRT dummy-loop pattern — solve, integrate the solver's own
 dynamics, feed back)."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -12,6 +13,9 @@ from hunter_bipedal_control_tpu.runtime import loop as rloop
 from hunter_bipedal_control_tpu.runtime.controller import default_gains
 from hunter_bipedal_control_tpu.solver import sqp
 from hunter_bipedal_control_tpu.wbc.wbc import default_wbc_params
+
+# closed-loop / sweep compile-heavy module -> slow tier (fast: -m 'not slow')
+pytestmark = pytest.mark.slow
 
 F32 = jnp.float32
 DJ = jnp.array([0.10, 0., 0.40, 0.93, 0.53, -0.10, 0., -0.40, 0.93, -0.53], F32)

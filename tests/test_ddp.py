@@ -1,5 +1,6 @@
 """SLQ/DDP solver: feasible iterates, stance balance quality."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -7,6 +8,9 @@ from hunter_bipedal_control_tpu.gait import mode_schedule as ms
 from hunter_bipedal_control_tpu.ocp import problem as ocp
 from hunter_bipedal_control_tpu.refs import swing_planner as swp, targets as tg
 from hunter_bipedal_control_tpu.solver import ddp, mpc as mpc_mod, sqp
+
+# closed-loop / sweep compile-heavy module -> slow tier (fast: -m 'not slow')
+pytestmark = pytest.mark.slow
 
 F32 = jnp.float32
 DJ = jnp.array([0.10, 0., 0.40, 0.93, 0.53, -0.10, 0., -0.40, 0.93, -0.53], F32)

@@ -12,8 +12,12 @@ Regenerate deliberately after *intentional* behavior changes:
 import os
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
+
+# closed-loop / sweep compile-heavy module -> slow tier (fast: -m 'not slow')
+pytestmark = pytest.mark.slow
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "stance_walk_40p.npz")
 

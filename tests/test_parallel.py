@@ -6,6 +6,9 @@ import pytest
 
 from hunter_bipedal_control_tpu.parallel import scenarios, sweep
 
+# closed-loop / sweep compile-heavy module -> slow tier (fast: -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def test_mesh_and_sharding():
     mesh = sweep.make_mesh()

@@ -1,6 +1,7 @@
 """Physics-in-the-loop closed loop: the sim-backend analog of the
 reference's MuJoCo/Gazebo operation, with KF estimation in the loop."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -17,6 +18,9 @@ from hunter_bipedal_control_tpu.runtime import loop as rloop, sim_loop
 from hunter_bipedal_control_tpu.runtime.controller import JointCommand, default_gains
 from hunter_bipedal_control_tpu.solver import sqp
 from hunter_bipedal_control_tpu.wbc.wbc import default_wbc_params
+
+# closed-loop / sweep compile-heavy module -> slow tier (fast: -m 'not slow')
+pytestmark = pytest.mark.slow
 
 F32 = jnp.float32
 DJ = jnp.array([0.10, 0., 0.40, 0.93, 0.53, -0.10, 0., -0.40, 0.93, -0.53], F32)
