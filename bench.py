@@ -100,6 +100,100 @@ def main():
         chained(x0).block_until_ready()
     lat_chained = (time.perf_counter() - t0) / 3 / K_CHAIN * 1e3
 
+    # ---- sustained real-time demonstration (VERDICT r1 #2) ----
+    # Run the FULL closed loop (KF + momentum observer + MPC + WBC + PD
+    # motors + contact physics) for RT_PERIODS MPC periods (10 ms each) of
+    # simulated time, entirely on-device, and compare wall-clock: the
+    # persistent-loop deployment regime.  rt_factor >= 1 means the whole
+    # 100 Hz MPC + 500 Hz WBC stack runs faster than real time on one chip.
+    RT_PERIODS = int(os.environ.get("BENCH_RT_PERIODS", "20" if quick else "2000"))
+    from hunter_bipedal_control_tpu.backends.fullorder import default_sim_params
+    from hunter_bipedal_control_tpu.estim.contact import default_contact_params
+    from hunter_bipedal_control_tpu.estim.kalman import default_kalman_params
+    from hunter_bipedal_control_tpu.ocp import problem as ocp_mod
+    from hunter_bipedal_control_tpu.refs import swing_planner as swp_mod, targets as tg_mod
+    from hunter_bipedal_control_tpu.runtime import loop as rloop, sim_loop
+    from hunter_bipedal_control_tpu.runtime.controller import default_gains
+
+    rt_settings = sqp.SqpSettings(n_intervals=n_int, horizon=horizon)
+    q0 = jnp.concatenate([jnp.asarray([0., 0., 0.624], x0.dtype),
+                          jnp.zeros(3, x0.dtype), dj])
+    rt_state = sim_loop.init_sim_loop_state(m, rt_settings, q0)
+    rt_cmds = np.zeros((RT_PERIODS, 4), np.float32)
+    rt_cmds[10:, 0] = 0.3  # walk forward after a 0.1 s stance ramp-in
+    rt_cmds = jnp.asarray(rt_cmds)
+    rt_run = jax.jit(lambda st, c: sim_loop.run_sim_loop(
+        m, rt_settings, params, pcfg, default_wbc_params(), default_gains(),
+        tg_mod.default_cmd_vel_config(), default_kalman_params(),
+        default_contact_params(), default_sim_params(), rloop.LoopConfig(),
+        st, c, RT_PERIODS, dj))
+    fin, telem = rt_run(rt_state, rt_cmds)   # compile + warm
+    telem["base_z"].block_until_ready()
+    t0 = time.perf_counter()
+    fin, telem = rt_run(rt_state, rt_cmds)
+    telem["base_z"].block_until_ready()
+    rt_wall = time.perf_counter() - t0
+    rt_sim = RT_PERIODS * 0.01
+    rt_upright = bool(np.asarray(telem["base_z"])[-1] > 0.5)
+
+    # ---- controller-only 500 Hz tick latency (deployment budget) ----
+    # One control tick = KF update + momentum observer + policy eval + WBC
+    # + gain schedule.  In deployment the plant is the physical robot, so
+    # the 2 ms (500 Hz) budget applies to THIS chain, not to the in-graph
+    # physics above.  Chained K ticks in one jit with carried estimator/WBC
+    # state (data-dependent — not hoistable).
+    from hunter_bipedal_control_tpu.estim.contact import (
+        init_contact_observer, momentum_observer_update)
+    from hunter_bipedal_control_tpu.estim.kalman import (
+        init_kalman_state, kalman_update)
+    from hunter_bipedal_control_tpu.models.spatial import zyx_to_quat
+    from hunter_bipedal_control_tpu.runtime.controller import control_tick
+    from hunter_bipedal_control_tpu.wbc.wbc import init_wbc_state as _iws
+
+    kfp = default_kalman_params()
+    obp = default_contact_params()
+    wbcp = default_wbc_params()
+    gains_ = default_gains()
+    sol_demo, _, _ = jax.jit(lambda x: mpc_mod.mpc_step(
+        m, settings, params, pcfg, mpc_mod.init_mpc_state(m, settings),
+        sched, target, 0.0, x, jnp.zeros(6, x.dtype), dj))(x0)
+    q0j = q0[6:]
+    quat0 = zyx_to_quat(q0[3:6])
+    K_TICKS = 10 if quick else 100
+
+    @jax.jit
+    def tick_chain(kf, obs, wbc_st):
+        def body(c, i):
+            kf, obs, wbc_st, last_tau = c
+            t = 0.002 * i.astype(x0.dtype)
+            kf, pos, vel = kalman_update(
+                m, kfp, kf, q0[3:6], q0j, jnp.zeros(10, x0.dtype),
+                jnp.zeros(3, x0.dtype), quat0,
+                jnp.asarray([0., 0., 9.81], x0.dtype),
+                jnp.ones(4, x0.dtype), 0.002)
+            rbd = jnp.concatenate([q0[3:6], pos, q0j, jnp.zeros(3, x0.dtype),
+                                   vel, jnp.zeros(10, x0.dtype)])
+            obs, _ = momentum_observer_update(m, obp, obs, rbd, last_tau, 0.002)
+            out, wbc_st = control_tick(
+                m, wbcp, gains_, wbc_st, sol_demo, sched, t,
+                jnp.concatenate([jnp.zeros(6, x0.dtype), q0]), rbd, dj,
+                jnp.asarray(True), jnp.asarray(False), 0.002)
+            return (kf, obs, wbc_st, out.command.tau_ff), out.command.pos_des[0]
+        (kf, obs, wbc_st, _), outs = jax.lax.scan(
+            body, (kf, obs, wbc_st, jnp.zeros(10, x0.dtype)),
+            jnp.arange(K_TICKS))
+        return outs.sum()
+
+    args_tc = (init_kalman_state(x0.dtype), init_contact_observer(x0.dtype),
+               _iws(x0.dtype))
+    tick_chain(*args_tc).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        tick_chain(*args_tc).block_until_ready()
+    tick_ms = (time.perf_counter() - t0) / 3 / K_TICKS * 1e3
+    # controller-side 100 Hz period = 1 chained MPC solve + 5 ticks
+    ctrl_period_ms = lat_chained + 5 * tick_ms
+
     # ---- batched WBC throughput ----
     wp = default_wbc_params()
     rbd = q_v_to_rbd_state(m, state_to_q(x0), jnp.zeros(16, x0.dtype))
@@ -128,6 +222,14 @@ def main():
         "mpc_single_p99_ms": round(lat_p99, 2),
         "mpc_chained_ms": round(lat_chained, 2),
         "rt_budget_ms": 10.0,
+        "rt_sim_seconds": round(rt_sim, 2),
+        "rt_wall_seconds": round(rt_wall, 2),
+        "rt_factor": round(rt_sim / rt_wall, 2),
+        "rt_period_wall_ms": round(rt_wall / RT_PERIODS * 1e3, 2),
+        "rt_upright": rt_upright,
+        "tick_chained_ms": round(tick_ms, 3),
+        "ctrl_period_ms": round(ctrl_period_ms, 2),
+        "ctrl_rt_factor": round(10.0 / ctrl_period_ms, 2),
         "wbc_solves_per_s": round(wbc_per_s, 1),
         "wbc_batch": WB,
         "device": str(jax.devices()[0]),
