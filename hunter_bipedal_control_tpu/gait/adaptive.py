@@ -137,20 +137,45 @@ def walk_gait_switch(state: GaitRunState, vel_avg, init_time, final_time) -> Gai
 
 def extend_schedule(state: GaitRunState, init_time, final_time) -> GaitRunState:
     """Re-tile when the horizon outruns the stored window (the implicit
-    re-tiling GaitSchedule::getModeSchedule performs at every query)."""
-    sched = state.schedule
+    re-tiling GaitSchedule::getModeSchedule performs at every query).
+
+    Past phases older than one second before ``init_time`` are compacted
+    away first (GaitSchedule's deque erase), keeping the fixed MAX_PHASES
+    window centered on [init_time - 1, final_time] — without this the
+    array saturates with history and walking collapses after
+    ~MAX_PHASES * (half gait period) seconds."""
+    from .mode_schedule import compact_schedule, rotate_template, scale_template
+
+    sched = compact_schedule(state.schedule, init_time - 1.0)
     last_event = jnp.max(
         jnp.where(sched.event_times < BIG_TIME / 2, sched.event_times, -BIG_TIME)
     )
     need = last_event < final_time
 
-    from .mode_schedule import scale_template
-
     level = state.gait_level
     s = state.gait_scale
-    tmpl_trot = scale_template(TROT_GAIT(), s)
-    tmpl_stance = scale_template(STANCE_GAIT(), s)
-    tmpl_fly = scale_template(FLYING_TROT_GAIT(), s)
+
+    def continuation(tmpl):
+        """Rotate the template so the extension CONTINUES the live pattern:
+        match the (next, next-next) mode pair encoded in the schedule's
+        mode padding against consecutive template modes (pairs are unique
+        for all shipped gaits; no match -> restart at modes[0], e.g. right
+        after a gait switch)."""
+        ev = sched.event_times
+        n_real = jnp.sum(ev < BIG_TIME / 2).astype(jnp.int32)
+        m = jnp.maximum(n_real - 1, 0)
+        mu1 = sched.modes[jnp.clip(m + 1, 0, MAX_PHASES)]
+        mu2 = sched.modes[jnp.clip(m + 2, 0, MAX_PHASES)]
+        n = tmpl.n_modes
+        i = jnp.arange(tmpl.modes.shape[0])
+        nxt = tmpl.modes[(i + 1) % jnp.maximum(n, 1)]
+        match = (tmpl.modes == mu1) & (nxt == mu2) & (i < n)
+        j = jnp.where(jnp.any(match), jnp.argmax(match), 0)
+        return rotate_template(tmpl, j)
+
+    tmpl_trot = continuation(scale_template(TROT_GAIT(), s))
+    tmpl_stance = continuation(scale_template(STANCE_GAIT(), s))
+    tmpl_fly = continuation(scale_template(FLYING_TROT_GAIT(), s))
     ext_stance = insert_template(sched, tmpl_stance, last_event, final_time + 2.4, 0.0)
     ext_trot = insert_template(sched, tmpl_trot, last_event, final_time + 2.4, 0.0)
     ext_fly = insert_template(sched, tmpl_fly, last_event, final_time + 2.4, 0.0)

@@ -83,6 +83,22 @@ def make_template(mode_names, switching_times, dtype=jnp.float32) -> GaitTemplat
     )
 
 
+def rotate_template(template: GaitTemplate, j) -> GaitTemplate:
+    """Rotate a periodic template so mode index ``j`` (traced) comes first —
+    the fixed-shape tool for phase-continuous re-tiling: extending a live
+    gait must CONTINUE its pattern (GaitSchedule re-tiles from the stored
+    timeline position, GaitSchedule.cpp:126-161), not restart at modes[0]."""
+    n = template.n_modes
+    i = jnp.arange(T_MAX)
+    src = jnp.where(i < n, (i + j) % jnp.maximum(n, 1), n - 1)
+    modes = template.modes[src]
+    # rotated durations -> cumulative switching times from 0
+    dur = template.switching_times[1:] - template.switching_times[:-1]  # (T_MAX,)
+    dur_rot = jnp.where(i < n, dur[src], 0.0)
+    sw = jnp.concatenate([jnp.zeros(1, dur.dtype), jnp.cumsum(dur_rot)])
+    return template._replace(switching_times=sw, modes=modes)
+
+
 def scale_template(template: GaitTemplate, scale) -> GaitTemplate:
     """Scale a template's period by ``scale`` (domain sweeps over gait
     cadence, BASELINE config 5) — switching times are data, so this jits
@@ -136,6 +152,28 @@ def tile_template(template: GaitTemplate, start_time, final_time,
     valid = events <= final_time + 1e-9
     events = jnp.where(valid, events, BIG_TIME)
     modes = jnp.concatenate([first_mode[None], modes_body])
+    return ModeSchedule(event_times=events, modes=modes)
+
+
+def compact_schedule(schedule: ModeSchedule, keep_from) -> ModeSchedule:
+    """Shift out events strictly before ``keep_from`` (fixed shape).
+
+    The reference's GaitSchedule keeps a deque and erases past phases as it
+    re-tiles (GaitSchedule.cpp:94-121); a fixed MAX_PHASES array must do the
+    same or the window saturates with history — a walking gait consumes an
+    event every ~0.15 s, so without compaction the schedule stops extending
+    after ~MAX_PHASES*0.15 s and the horizon tail degenerates to a constant
+    single-support mode (measured: every walk fell at ~8.6-9.6 s regardless
+    of speed).  Queries at times >= keep_from are unchanged: the phase
+    containing keep_from becomes phase 0.
+    """
+    k = jnp.searchsorted(schedule.event_times, keep_from, side="left")
+    idx = jnp.arange(MAX_PHASES)
+    src = jnp.clip(idx + k, 0, MAX_PHASES - 1)
+    events = jnp.where(idx + k < MAX_PHASES,
+                       schedule.event_times[src], BIG_TIME)
+    msrc = jnp.clip(jnp.arange(MAX_PHASES + 1) + k, 0, MAX_PHASES)
+    modes = schedule.modes[msrc]
     return ModeSchedule(event_times=events, modes=modes)
 
 

@@ -115,3 +115,46 @@ def test_velocity_adaptive_switching():
     # mode after switch time is trot-like (L or R within a period)
     modes = {int(ms.mode_at_time(st.schedule, t)) for t in np.linspace(0.8, 1.4, 13)}
     assert ms.L_MODE in modes and ms.R_MODE in modes
+
+
+def test_compact_schedule_preserves_queries():
+    """Compaction (GaitSchedule's deque-erase analog) must not change any
+    query at t >= keep_from, and must free slots so the window can keep
+    extending — without it every walk fell at ~MAX_PHASES * (half gait
+    period) seconds when the fixed array saturated with past events."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hunter_bipedal_control_tpu.gait import adaptive, mode_schedule as ms
+
+    seq = []
+    sched = ms.tile_template(ms.TROT_GAIT(), 0.0, 100.0)
+    c = ms.compact_schedule(sched, 2.0)
+    for t in (2.0, 2.05, 2.2, 3.1, 5.0, 9.0):
+        assert int(ms.mode_at_time(c, t)) == int(ms.mode_at_time(sched, t)), t
+        assert int(ms.phase_index_at_time(c, t)) <= int(
+            ms.phase_index_at_time(sched, t))
+    # saturation regression: walk the window forward for 60 s of trot —
+    # the schedule must always cover [t, t+2] with real (finite) events
+    st = adaptive.init_gait_run_state(jnp.float32, 0.0)
+    st = st._replace(gait_level=jnp.asarray(1, jnp.int32),
+                     schedule=ms.tile_template(ms.TROT_GAIT(), -1.0, 2.4))
+    for k in range(60):
+        t = 1.0 * k
+        st = adaptive.extend_schedule(st, t, t + 2.0)
+        ev = st.schedule.event_times
+        last = float(jnp.max(jnp.where(ev < ms.BIG_TIME / 2, ev, -ms.BIG_TIME)))
+        assert last >= t + 2.0, (k, last)
+        # and the phases around t remain alternating trot, not a stuck mode
+        modes = [int(ms.mode_at_time(st.schedule, t + dt))
+                 for dt in (0.05, 0.2, 0.35, 0.5)]
+        assert len(set(modes)) > 1, (k, modes)
+        # record the mode stream over [t, t+1) as the loop advances
+        seq.extend(int(ms.mode_at_time(st.schedule, t + dt))
+                   for dt in np.arange(0.0, 1.0, 0.01))
+    # phase-continuity: extensions must CONTINUE the L/R pattern (a restart
+    # at the splice doubles a single-support phase to 0.6 s of hop)
+    seq = np.asarray(seq[100:])  # skip the initial window
+    runs = np.diff(np.flatnonzero(np.concatenate(
+        [[True], seq[1:] != seq[:-1], [True]])))
+    assert runs.max() * 0.01 <= 0.35, f"single-support run {runs.max()*0.01}s"  # trot phases are 0.3 s; a splice restart doubles one to 0.6
