@@ -141,9 +141,11 @@ def test_body_rotation_target():
     eul = jnp.array([0.3, 0.1, -0.05], jnp.float32)
     t = tg.body_rotation_to_target(eul, x, 0.0, cfg, time_to_target=2.0)
     s0, s1 = np.asarray(t.states[0]), np.asarray(t.states[1])
-    # start z moved by exactly +change_limit (0.5 -> 0.63 clipped to 0.05)
+    # z moved by exactly +change_limit (0.5 -> 0.63 clipped to 0.05); the
+    # reference uses the SAME clipped z for the target state too
+    # (TargetTrajectoriesPublisher.cpp:134-155 -> :61-86; advisor fix r1)
     np.testing.assert_allclose(s0[8], 0.55, atol=1e-6)
-    np.testing.assert_allclose(s1[8], 0.63, atol=1e-6)
+    np.testing.assert_allclose(s1[8], 0.55, atol=1e-6)
     np.testing.assert_allclose(s0[9:12], [0.3, 0.1, -0.05], atol=1e-6)
     np.testing.assert_allclose(s0[6:8], [0.4, -0.2], atol=1e-6)
     np.testing.assert_allclose(s1[6:8], [0.4, -0.2], atol=1e-6)
