@@ -30,7 +30,16 @@ import numpy as np
 
 def run_controller(addr="239.255.76.67", state_port=7667, cmd_port=7668,
                    duration=20.0, mpc_hz=100.0, control_hz=500.0,
-                   backend_cpu=False, verbose=True):
+                   backend_cpu=False, tick_on_cpu=True, verbose=True):
+    """Two-rate deployment runtime.
+
+    ``tick_on_cpu=True`` (default) places the 500 Hz estimation+WBC path on
+    the host CPU backend and only the 100 Hz MPC solve on the accelerator —
+    the reference's own core split (SCHED_FIFO control loop vs MPC thread,
+    LeggedController.cpp:396-421).  Measured on the axon TPU: a single
+    device stream serializes tick dispatches behind in-flight MPC solves
+    (the 500 Hz loop starves at ~0.5 Hz); with the split both rates run
+    concurrently."""
     import jax
 
     if backend_cpu:
@@ -73,10 +82,17 @@ def run_controller(addr="239.255.76.67", state_port=7667, cmd_port=7668,
         "rbd": None,
         "t": 0.0,
         "policy": None,         # latest SqpSolution (pytree of np/jnp)
-        "gait": adaptive.init_gait_run_state(F32, 0.0),
+        # host-side numpy: the gait state is consumed by BOTH the CPU tick
+        # path and the accelerator MPC; keeping it device-committed would
+        # cost a device->host transfer per 500 Hz tick
+        "gait": None,  # set below
         "mpc_state": mpc_mod.init_mpc_state(m, settings),
         "stop": False,
     }
+    import numpy as _np_mod
+
+    shared["gait"] = jax.tree.map(
+        lambda a: _np_mod.asarray(a), adaptive.init_gait_run_state(F32, 0.0))
     lock = threading.Lock()
 
     # jitted functions
@@ -88,10 +104,14 @@ def run_controller(addr="239.255.76.67", state_port=7667, cmd_port=7668,
         )
         return sol, new_state
 
-    mpc_jit = jax.jit(_mpc)
+    # pin the MPC solve to the accelerator explicitly: without this, the
+    # warmup's CPU-committed estimator outputs would infect placement and
+    # the solver would silently compile for (and stay on) the CPU backend
+    mpc_jit = jax.jit(_mpc, device=jax.devices()[0])
 
     wbc_state = init_wbc_state(F32)
     kf = init_kalman_state(F32)
+    tick_dev = jax.devices("cpu")[0] if tick_on_cpu else None
 
     def _tick(wbc_state, policy, sched, t, x_est, rbd):
         out, wbc_state = control_tick(
@@ -100,18 +120,44 @@ def run_controller(addr="239.255.76.67", state_port=7667, cmd_port=7668,
         )
         return out, wbc_state
 
-    tick_jit = jax.jit(_tick)
+    tick_jit = jax.jit(_tick, device=tick_dev)
 
-    def _estimate(kf, zyx, q, dq, omega_world, quat, accel, flags, dt):
+    def _estimate(kf, quat, gyro, accel, q, dq, sched, t, dt):
+        """Sensor pack -> (kf, rbd, x_est, flags) — ALL the per-tick math
+        lives inside one jit (eager ops would each be a host<->device round
+        trip on a remote accelerator)."""
+        from ..models.spatial import rotation_zyx
+
+        zyx = quat_to_zyx(quat)
+        omega_world = rotation_zyx(zyx) @ gyro
+        flags = jnp.asarray(MODE_CONTACTS, F32)[mode_at_time(sched, t)]
         kf, pos, vel = kalman_update(m, kf_params, kf, zyx, q, dq, omega_world,
                                      quat, accel, flags, dt)
         rbd = jnp.concatenate([zyx, pos, q, omega_world, vel, dq])
         return kf, rbd, rbd_state_to_centroidal(m, rbd)
 
-    est_jit = jax.jit(_estimate)
+    est_jit = jax.jit(_estimate, device=tick_dev)
 
     mpc_timer = RepeatedTimer("mpc")
     wbc_timer = RepeatedTimer("wbc+tick")
+
+    # pre-warm every jit before the wall-clock loops start (first compiles
+    # through the axon tunnel take minutes; the RT loops must start hot)
+    if verbose:
+        print("[controller] warming jits ...", flush=True)
+    _quat = np.array([0., 0., 0., 1.], np.float32)
+    _acc = np.array([0., 0., 9.81], np.float32)
+    _kf_w, _rbd_w, _x_w = est_jit(
+        kf, _quat, np.zeros(3, np.float32), _acc, np.asarray(dj, np.float32),
+        np.zeros(10, np.float32), shared["gait"].schedule, 0.0,
+        1.0 / control_hz)
+    _sol_w, _ = mpc_jit(shared["mpc_state"], shared["gait"].schedule, 0.0,
+                        np.asarray(_x_w), jnp.zeros(6, F32))
+    _out_w, _ = tick_jit(wbc_state, _sol_w, shared["gait"].schedule, 0.0,
+                         _x_w, _rbd_w)
+    jax.block_until_ready(_out_w.command.pos_des)
+    if verbose:
+        print("[controller] jits warm; starting RT loops", flush=True)
 
     def mpc_thread():
         native.set_realtime_priority(50)
@@ -126,7 +172,9 @@ def run_controller(addr="239.255.76.67", state_port=7667, cmd_port=7668,
                 with mpc_timer:
                     sol, new_state = mpc_jit(mpc_state, gait.schedule, t,
                                              jnp.asarray(x), jnp.zeros(6, F32))
-                    jax.block_until_ready(sol.states)
+                    # fetch the policy to host ONCE per solve — the 500 Hz
+                    # tick consumer must not pay a device round trip per tick
+                    sol = jax.tree.map(np.asarray, sol)
                 with lock:
                     shared["policy"] = sol
                     shared["mpc_state"] = new_state
@@ -149,21 +197,16 @@ def run_controller(addr="239.255.76.67", state_port=7667, cmd_port=7668,
                 rate.sleep()
                 continue
             s = last_state
-            quat = jnp.asarray(np.frombuffer(s.quat, np.float64), F32)
-            zyx = quat_to_zyx(quat)
-            gyro = jnp.asarray(np.frombuffer(s.gyro, np.float64), F32)
-            from ..models.spatial import rotation_zyx
-            omega_world = rotation_zyx(zyx) @ gyro
-            accel = jnp.asarray(np.frombuffer(s.accel, np.float64), F32)
-            q = jnp.asarray(np.frombuffer(s.q, np.float64), F32)
-            dq = jnp.asarray(np.frombuffer(s.dq, np.float64), F32)
+            quat = np.frombuffer(s.quat, np.float64).astype(np.float32)
+            gyro = np.frombuffer(s.gyro, np.float64).astype(np.float32)
+            accel = np.frombuffer(s.accel, np.float64).astype(np.float32)
+            q = np.frombuffer(s.q, np.float64).astype(np.float32)
+            dq = np.frombuffer(s.dq, np.float64).astype(np.float32)
             with lock:
                 gait = shared["gait"]
             tnow = float(s.t)
-            flags = jnp.asarray(MODE_CONTACTS, F32)[mode_at_time(gait.schedule, tnow)]
-            nonlocal_kf = est_jit(kf, zyx, q, dq, omega_world, quat, accel,
-                                  flags, 1.0 / control_hz)
-            kf, rbd, x_est = nonlocal_kf
+            kf, rbd, x_est = est_jit(kf, quat, gyro, accel, q, dq,
+                                     gait.schedule, tnow, 1.0 / control_hz)
             with lock:
                 shared["x_est"] = np.asarray(x_est)
                 shared["rbd"] = np.asarray(rbd)
