@@ -125,3 +125,32 @@ def one_merit6(bundle, xw, uw):
 
 timeit("merit_x6", jax.jit(jax.vmap(one_merit6)), bundles, xs_ws, us_ws)
 print("done", flush=True)
+
+
+# ---- prepare_references sub-phases (round-3 target per DESIGN.md) ----
+from hunter_bipedal_control_tpu.refs import swing_planner as swp  # noqa: E402
+
+
+def one_planner(x):
+    feet = mpc_mod._current_feet(m, x)
+    refs, _ = swp.update_planner(pcfg, state.planner, sched, target, 0.0,
+                                 settings.horizon, jnp.zeros(6, x.dtype), feet)
+    return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(refs))
+
+
+timeit("prep_swing_planner", jax.jit(jax.vmap(one_planner)), xs_b)
+
+
+def one_jref(x):
+    feet = mpc_mod._current_feet(m, x)
+    refs, _ = swp.update_planner(pcfg, state.planner, sched, target, 0.0,
+                                 settings.horizon, jnp.zeros(6, x.dtype), feet)
+    n_samples = int(settings.horizon / mpc_mod.JOINT_REF_STEP) + 1
+    tt = mpc_mod._joint_reference(m, target, refs, 0.0, settings.horizon, x,
+                                  dj, n_samples)
+    return jnp.sum(tt.states)
+
+
+timeit("prep_planner_plus_ik", jax.jit(jax.vmap(one_jref)), xs_b)
+print("prep interp/bundle share = prepare_references - prep_planner_plus_ik",
+      flush=True)
