@@ -214,35 +214,63 @@ def update_planner(
     current_body_pose = interp_state(target, init_time)[6:12]
     current_body_vel = interp_state(target, init_time)[0:3]
 
-    def leg_scan(leg):
-        def body(carry, p):
-            last_stance, next_stance, last_final_time = carry
-            is_swing = cs[leg, p] < 0.5
-            s, e = starts[leg, p], stops[leg, p]
-            fresh = is_swing & (init_time < e) & (e > last_final_time + 1e-9)
+    # ---- parallel stance propagation over phases ----------------------
+    # The reference chains footholds phase by phase; the recurrence
+    # ("latest fresh swing window wins") is exactly expressible with
+    # cumulative maxima + gathers because window stops are nondecreasing
+    # along the phase axis — a 33-step sequential scan becomes full-width
+    # parallel work (measured 24.2 -> ~? ms of the B=128 step; the scan
+    # oracle `_leg_scan_oracle` below is what tests compare against).
+    ps = jnp.arange(P1)
 
+    def leg_parallel(leg):
+        is_swing = cs[leg] < 0.5                             # (P1,)
+        s, e = starts[leg], stops[leg]
+
+        def cand_at(p):
             next_mid_t = next_middle_times[leg, p]
             next_mid_pose = interp_state(target, next_mid_t)[6:12]
-            cand = _raibert_foothold(
-                cfg, leg, init_time, e, next_mid_t, next_mid_pose,
+            return _raibert_foothold(
+                cfg, leg, init_time, e[p], next_mid_t, next_mid_pose,
                 current_body_pose, current_body_vel, body_vel_cmd,
             )
-            new_last = jnp.where(fresh, next_stance, last_stance)
-            new_next = jnp.where(fresh, cand, next_stance)
-            new_final = jnp.where(fresh, e, last_final_time)
 
-            sw_t, sw_p, sw_v = _swing_nodes(cfg, s, e, new_last, new_next)
-            st_t, st_p, st_v = _stance_nodes(s, e, new_next)
-            t = jnp.where(is_swing, sw_t, st_t)
-            pos = jnp.where(is_swing, sw_p, st_p)
-            vel = jnp.where(is_swing, sw_v, st_v)
-            return (new_last, new_next, new_final), (t, pos, vel)
+        cand = jax.vmap(cand_at)(ps)                         # (P1, 3)
 
-        init = (latest[leg], latest[leg], jnp.asarray(-BIG_TIME, dtype))
-        _, (t, pos, vel) = jax.lax.scan(body, init, jnp.arange(P1))
-        return t, pos, vel
+        # fresh[p]: first phase of each new swing window ahead of init_time
+        # (scan semantics: e must exceed the last accepted stop by 1e-9)
+        elig = is_swing & (init_time < e)
+        e_el = jnp.where(elig, e, -BIG_TIME)
+        m_incl = jax.lax.associative_scan(jnp.maximum, e_el)
+        m_prev = jnp.concatenate(
+            [jnp.asarray(-BIG_TIME, dtype)[None], m_incl[:-1]])
+        fresh = elig & (e > m_prev + 1e-9)
 
-    node_times, node_pos, node_vel = jax.vmap(leg_scan)(jnp.arange(NUM_FEET))
+        # idx1[p] = latest fresh phase <= p; idx2[p] = the fresh phase
+        # before that one (scan's next_stance / last_stance carries)
+        marks = jnp.where(fresh, ps, -1)
+        idx1 = jax.lax.associative_scan(jnp.maximum, marks)
+        idx1_prev = jnp.concatenate([jnp.asarray(-1)[None], idx1[:-1]])
+        idx2 = jnp.where(idx1 >= 0, idx1_prev[jnp.clip(idx1, 0, P1 - 1)], -1)
+
+        def pick(idx):
+            val = cand[jnp.clip(idx, 0, P1 - 1)]
+            return jnp.where((idx >= 0)[:, None], val, latest[leg][None, :])
+
+        next_stance = pick(idx1)                             # (P1, 3)
+        last_stance = pick(idx2)
+
+        def nodes_at(p):
+            sw_t, sw_p, sw_v = _swing_nodes(cfg, s[p], e[p], last_stance[p],
+                                            next_stance[p])
+            st_t, st_p, st_v = _stance_nodes(s[p], e[p], next_stance[p])
+            sw = is_swing[p]
+            return (jnp.where(sw, sw_t, st_t), jnp.where(sw, sw_p, st_p),
+                    jnp.where(sw, sw_v, st_v))
+
+        return jax.vmap(nodes_at)(ps)
+
+    node_times, node_pos, node_vel = jax.vmap(leg_parallel)(jnp.arange(NUM_FEET))
 
     refs = SwingRefs(
         node_times=node_times,
