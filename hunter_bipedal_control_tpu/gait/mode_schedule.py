@@ -209,6 +209,8 @@ def swing_windows(schedule: ModeSchedule, horizon_start, horizon_end):
     Window boundaries clamp to [horizon_start, horizon_end] at the padded
     edges of the schedule.
     """
+    import jax
+
     cs = contact_sequence(schedule)  # (4, P+1)
     P1 = cs.shape[1]
     # boundary time of phase p start: event_times[p-1] (phase 0 -> horizon_start)
@@ -220,40 +222,27 @@ def swing_windows(schedule: ModeSchedule, horizon_start, horizon_end):
     )  # (P+1,)
     ends_of_phase = jnp.minimum(ends_of_phase, horizon_end)
 
-    # forward scan: window start time = phase start of the first phase of the
-    # contiguous equal-flag run containing p
-    def fwd(carry, inp):
-        prev_flag, prev_start = carry
-        flag, ph_start = inp
-        same = flag == prev_flag
-        start = jnp.where(same, prev_start, ph_start)
-        return (flag, start), start
+    # Window start = phase start of the first phase of the contiguous
+    # equal-flag run containing p; window stop = phase end of the run's last
+    # phase.  Both recurrences are "nearest flag-change boundary" lookups:
+    # a cumulative max (resp. reverse cumulative min) of marked boundary
+    # indices replaces the P1-step sequential scans — O(log P1) depth.
+    # Sequential-scan oracle: tests/test_swing_parallel.py::_swing_windows_scan.
+    ps = jnp.arange(P1)
 
-    def one_leg_fwd(flags):
-        init = (flags[0], jnp.asarray(horizon_start, dtype=starts_of_phase.dtype))
-        import jax
+    def one_leg(flags):
+        b_fwd = jnp.concatenate(
+            [jnp.ones((1,), bool), flags[1:] != flags[:-1]])
+        idx_f = jax.lax.associative_scan(jnp.maximum,
+                                         jnp.where(b_fwd, ps, -1))
+        b_bwd = jnp.concatenate(
+            [flags[:-1] != flags[1:], jnp.ones((1,), bool)])
+        idx_b = jax.lax.associative_scan(jnp.minimum,
+                                         jnp.where(b_bwd, ps, P1),
+                                         reverse=True)
+        return starts_of_phase[idx_f], ends_of_phase[idx_b]
 
-        (_, _), starts = jax.lax.scan(fwd, init, (flags, starts_of_phase))
-        return starts
-
-    def bwd(carry, inp):
-        next_flag, next_stop = carry
-        flag, ph_end = inp
-        same = flag == next_flag
-        stop = jnp.where(same, next_stop, ph_end)
-        return (flag, stop), stop
-
-    def one_leg_bwd(flags):
-        import jax
-
-        init = (flags[-1], jnp.asarray(horizon_end, dtype=ends_of_phase.dtype))
-        (_, _), stops = jax.lax.scan(bwd, init, (flags, ends_of_phase), reverse=True)
-        return stops
-
-    import jax
-
-    start_times = jax.vmap(one_leg_fwd)(cs)
-    stop_times = jax.vmap(one_leg_bwd)(cs)
+    start_times, stop_times = jax.vmap(one_leg)(cs)
     return start_times, stop_times, cs
 
 

@@ -219,8 +219,9 @@ def update_planner(
     # ("latest fresh swing window wins") is exactly expressible with
     # cumulative maxima + gathers because window stops are nondecreasing
     # along the phase axis — a 33-step sequential scan becomes full-width
-    # parallel work (measured 24.2 -> ~? ms of the B=128 step; the scan
-    # oracle `_leg_scan_oracle` below is what tests compare against).
+    # parallel work.  The sequential-scan oracle lives in
+    # tests/test_swing_parallel.py::_update_planner_scan; measured numbers
+    # are in docs/DESIGN.md (phase profile table).
     ps = jnp.arange(P1)
 
     def leg_parallel(leg):

@@ -85,6 +85,61 @@ def _update_planner_scan(cfg, state, schedule, target, init_time, final_time,
                          contact_seq=cs)
 
 
+def _swing_windows_scan(schedule, horizon_start, horizon_end):
+    """The original sequential swing_windows (oracle): forward/backward
+    lax.scan propagation of the contiguous equal-flag run boundaries."""
+    cs = ms.contact_sequence(schedule)
+    starts_of_phase = jnp.concatenate(
+        [jnp.asarray(horizon_start)[None], schedule.event_times])
+    ends_of_phase = jnp.concatenate(
+        [schedule.event_times, jnp.asarray(BIG_TIME)[None]])
+    ends_of_phase = jnp.minimum(ends_of_phase, horizon_end)
+
+    def fwd(carry, inp):
+        prev_flag, prev_start = carry
+        flag, ph_start = inp
+        start = jnp.where(flag == prev_flag, prev_start, ph_start)
+        return (flag, start), start
+
+    def one_leg_fwd(flags):
+        init = (flags[0], jnp.asarray(horizon_start, starts_of_phase.dtype))
+        _, starts = jax.lax.scan(fwd, init, (flags, starts_of_phase))
+        return starts
+
+    def bwd(carry, inp):
+        next_flag, next_stop = carry
+        flag, ph_end = inp
+        stop = jnp.where(flag == next_flag, next_stop, ph_end)
+        return (flag, stop), stop
+
+    def one_leg_bwd(flags):
+        init = (flags[-1], jnp.asarray(horizon_end, ends_of_phase.dtype))
+        _, stops = jax.lax.scan(bwd, init, (flags, ends_of_phase),
+                                reverse=True)
+        return stops
+
+    return jax.vmap(one_leg_fwd)(cs), jax.vmap(one_leg_bwd)(cs), cs
+
+
+def test_swing_windows_matches_scan():
+    rng = np.random.default_rng(7)
+    gaits = [ms.TROT_GAIT(), ms.FLYING_TROT_GAIT(), ms.STANDING_TROT_GAIT(),
+             ms.STANCE_GAIT()]
+    for k in range(16):
+        tmpl = ms.scale_template(gaits[k % 4], float(rng.uniform(0.6, 1.5)))
+        t0 = float(rng.uniform(-1.0, 4.0))
+        sched = ms.tile_template(tmpl, t0 - 1.0, t0 + 3.0)
+        h0 = t0 + float(rng.uniform(-0.5, 0.5))
+        h1 = h0 + float(rng.uniform(0.5, 2.5))
+        s_ref, e_ref, cs_ref = _swing_windows_scan(sched, h0, h1)
+        s_par, e_par, cs_par = swing_windows(sched, h0, h1)
+        np.testing.assert_array_equal(np.asarray(cs_ref), np.asarray(cs_par))
+        np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_par),
+                                   rtol=0, atol=0, err_msg=f"case {k} starts")
+        np.testing.assert_allclose(np.asarray(e_ref), np.asarray(e_par),
+                                   rtol=0, atol=0, err_msg=f"case {k} stops")
+
+
 def test_parallel_matches_scan():
     cfg = swp.default_swing_config()
     rng = np.random.default_rng(11)
