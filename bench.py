@@ -62,15 +62,22 @@ def main():
     mpc_per_s = B / dt_b
 
     # ---- single-scenario latency (real-time path) ----
+    # Per-call wall time through the axon tunnel is dominated by host->TPU
+    # RPC dispatch (~25 ms vs ~4 ms on-device compute, docs/DESIGN.md), so
+    # its p99 measures tunnel jitter, not solver tail latency.  Take enough
+    # samples for a stable p99 and report the spread; the chained figure
+    # below is the deployment claim.
+    x0_dev = jax.device_put(x0)   # keep the input resident on device
     single = jax.jit(one_mpc)
-    single(x0).block_until_ready()
+    single(x0_dev).block_until_ready()
     lats = []
-    for _ in range(max(reps * 3, 20)):
+    for _ in range(max(reps * 10, 100)):
         t0 = time.perf_counter()
-        single(x0).block_until_ready()
+        single(x0_dev).block_until_ready()
         lats.append(time.perf_counter() - t0)
     lat_p50 = float(np.percentile(lats, 50) * 1e3)
     lat_p99 = float(np.percentile(lats, 99) * 1e3)
+    lat_std = float(np.std(lats) * 1e3)
 
     # ---- chained on-device latency: K back-to-back solves in one jit
     # (amortizes host dispatch; the number a locally-attached deployment
@@ -220,6 +227,7 @@ def main():
         "mpc_batch": B,
         "mpc_single_p50_ms": round(lat_p50, 2),
         "mpc_single_p99_ms": round(lat_p99, 2),
+        "mpc_single_std_ms": round(lat_std, 2),
         "mpc_chained_ms": round(lat_chained, 2),
         "rt_budget_ms": 10.0,
         "rt_sim_seconds": round(rt_sim, 2),

@@ -173,15 +173,21 @@ def extend_schedule(state: GaitRunState, init_time, final_time) -> GaitRunState:
         j = jnp.where(jnp.any(match), jnp.argmax(match), 0)
         return rotate_template(tmpl, j)
 
+    # STRICT PARITY with the reference's latent no-op: walkGait's level-3
+    # branch sets gaitLevel_=3 WITHOUT inserting the flying-trot template
+    # (SwitchedModelReferenceManager.cpp:210-218), and getModeSchedule keeps
+    # re-tiling the last *inserted* template — trot.  So above 0.4 m/s the
+    # reference keeps trotting, and extensions here do too (level 1 and 3
+    # both continue trot).  FLYING_TROT_GAIT stays reachable as an
+    # explicitly selected fixed gait (teleop gait toggle / tests).
+    # Decision + adaptive crossing test: docs/DESIGN.md, tests/test_gait_coverage.py.
     tmpl_trot = continuation(scale_template(TROT_GAIT(), s))
     tmpl_stance = continuation(scale_template(STANCE_GAIT(), s))
-    tmpl_fly = continuation(scale_template(FLYING_TROT_GAIT(), s))
     ext_stance = insert_template(sched, tmpl_stance, last_event, final_time + 2.4, 0.0)
     ext_trot = insert_template(sched, tmpl_trot, last_event, final_time + 2.4, 0.0)
-    ext_fly = insert_template(sched, tmpl_fly, last_event, final_time + 2.4, 0.0)
     ext = jax.tree.map(
-        lambda a, b, c: jnp.where(level == 0, a, jnp.where(level == 1, b, c)),
-        ext_stance, ext_trot, ext_fly,
+        lambda a, b: jnp.where(level == 0, a, b),
+        ext_stance, ext_trot,
     )
     new_sched = jax.tree.map(lambda a, b: jnp.where(need, a, b), ext, sched)
     return state._replace(schedule=new_sched)

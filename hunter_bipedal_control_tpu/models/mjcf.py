@@ -22,6 +22,8 @@ Conventions handled here:
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -31,7 +33,11 @@ from .robot import RobotModel
 # (ModelSettings.h:62-64 contactNames3DoF; common/Types.h:48-51)
 _CONTACTS = ("leg_l_f1_link", "leg_r_f1_link", "leg_l_f2_link", "leg_r_f2_link")
 
-DEFAULT_MJCF = "/root/reference/mujoco/model/hunter/hunter.xml"
+# Ground-truth MJCF (the reference's own model, read at runtime — never
+# copied).  Override with HUNTER_MJCF_PATH when the reference checkout
+# lives elsewhere.
+DEFAULT_MJCF = os.environ.get(
+    "HUNTER_MJCF_PATH", "/root/reference/mujoco/model/hunter/hunter.xml")
 
 
 def _quat_to_rot(q):

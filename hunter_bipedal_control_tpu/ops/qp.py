@@ -30,7 +30,8 @@ class QpSolution(NamedTuple):
 
 
 def solve_qp(H, g, Aeq, beq, Ain, bin, n_iters: int = 18, eq_reg: float = 1e-8,
-             frac_to_boundary: float = 0.99, mu_min: float | None = None):
+             frac_to_boundary: float = 0.99, mu_min: float | None = None,
+             x0=None, lam0=None, nu0=None, warm_margin: float = 1e-2):
     """Mehrotra-free path-following PDIP with fixed iteration count.
 
     All shapes static: H (n,n), Aeq (me,n), Ain (mi,n).  Returns QpSolution.
@@ -39,6 +40,15 @@ def solve_qp(H, g, Aeq, beq, Ain, bin, n_iters: int = 18, eq_reg: float = 1e-8,
     ``mu_min`` floors the barrier parameter so the complementarity scaling
     stays representable — essential in f32, where driving mu below ~1e-6
     corrupts the Newton system (lam/s overflows against rounding noise).
+
+    Warm start (the qpOASES ``setToMPC`` analog, WeightedWbc.cpp:44-55):
+    pass the previous solve's primal/duals as ``x0``/``lam0``/``nu0``.
+    Slacks are rebuilt from the (possibly slightly infeasible) primal and
+    both members of each complementarity pair are floored at
+    ``warm_margin`` — a strictly interior restart near the old central
+    path, so a handful of iterations re-converges when the QP data moved
+    only a tick's worth.  ``warm_margin`` may be a traced scalar (e.g.
+    ``where(has_warm, 1e-2, 1.0)``) so cold and warm starts share one trace.
     """
     n = H.shape[0]
     me = Aeq.shape[0]
@@ -47,11 +57,15 @@ def solve_qp(H, g, Aeq, beq, Ain, bin, n_iters: int = 18, eq_reg: float = 1e-8,
     if mu_min is None:
         mu_min = float(jnp.finfo(dtype).eps) * 50.0
 
-    # initial point: x=0, slacks from residuals (clamped), duals 1
-    x = jnp.zeros(n, dtype)
-    s = jnp.maximum(bin - Ain @ x, 1.0)
-    lam = jnp.ones(mi, dtype)
-    nu_eq = jnp.zeros(me, dtype)
+    # initial point: x=0, slacks from residuals (clamped), duals 1 — or a
+    # recentred warm start from the previous tick's solution
+    x = jnp.zeros(n, dtype) if x0 is None else x0
+    s = jnp.maximum(bin - Ain @ x, 1.0 if x0 is None else warm_margin)
+    lam = (jnp.ones(mi, dtype) if lam0 is None
+           else jnp.maximum(lam0, warm_margin))
+    nu_eq = jnp.zeros(me, dtype) if nu0 is None else nu0
+    lam = lam.astype(dtype)
+    s = s.astype(dtype)
 
     eye_e = jnp.eye(me, dtype=dtype)
 

@@ -60,6 +60,14 @@ class SqpSettings(NamedTuple):
     # cases — tests/test_linesearch_parity.py bounds the divergence on
     # randomized scenarios.
     linesearch: str = "model"
+    # Linearization/merit kernel implementation.  'soa': the scalarized
+    # SoA core (models/soa.py) — fastest on TPU (full-width elementwise
+    # fusion) but emits ~600k lines of HLO, which the CPU backend compiles
+    # for minutes; 'dense': vmapped knot_linearization_fused /
+    # stage_merit_fused over (3,)/(3,3) tiles — identical outputs
+    # (oracle-tested), ~10x smaller HLO.  The multichip CPU dryrun and
+    # CPU-tier tests can select 'dense'; TPU benches keep 'soa'.
+    lin_backend: str = "soa"
 
 
 class ReferenceBundle(NamedTuple):
@@ -124,14 +132,23 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
 
     def knot_linearization_all(xs, us):
         """All per-knot LQ data over the horizon in ONE batched SoA pass
-        (ocp.knot_linearization_batch) with dt-scaled cost quadratics."""
-        (xnext, A, B, cost, qx, qu, Qxx, Quu, Qux, g, C, D, mask) = (
-            ocp.knot_linearization_batch(
-                model, params, xs[:N], us, refs.x_nom[:N],
-                refs.contact_flags[:N], refs.foot_pos_ref[:N],
-                refs.foot_vel_ref[:N], dt,
+        (ocp.knot_linearization_batch) with dt-scaled cost quadratics.
+        lin_backend='dense' swaps in the vmapped dense-tile kernel with
+        identical outputs (oracle-tested) but ~10x smaller HLO."""
+        if settings.lin_backend == "dense":
+            (xnext, A, B, cost, qx, qu, Qxx, Quu, Qux, g, C, D, mask) = jax.vmap(
+                lambda x_, u_, xn_, f_, fp_, fv_: ocp.knot_linearization_fused(
+                    model, params, x_, u_, xn_, f_, fp_, fv_, dt)
+            )(xs[:N], us, refs.x_nom[:N], refs.contact_flags[:N],
+              refs.foot_pos_ref[:N], refs.foot_vel_ref[:N])
+        else:
+            (xnext, A, B, cost, qx, qu, Qxx, Quu, Qux, g, C, D, mask) = (
+                ocp.knot_linearization_batch(
+                    model, params, xs[:N], us, refs.x_nom[:N],
+                    refs.contact_flags[:N], refs.foot_pos_ref[:N],
+                    refs.foot_vel_ref[:N], dt,
+                )
             )
-        )
         if params.collision is not None:
             # self-collision soft term (state-only), assembled at the
             # problem level like the reference (LeggedInterface.cpp:452-490)
@@ -150,10 +167,17 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
         """(total cost, constraint 1-norm metric) of a trajectory — one
         batched SoA kinematics pass over all N knots (ocp.stage_merit_batch;
         scalarized layout, see models/soa.py)."""
-        costs, xnext, eq_res = ocp.stage_merit_batch(
-            model, params, xs[:N], us, refs.x_nom[:N], refs.contact_flags[:N],
-            refs.foot_pos_ref[:N], refs.foot_vel_ref[:N], dt,
-        )
+        if settings.lin_backend == "dense":
+            costs, xnext, eq_res = jax.vmap(
+                lambda x_, u_, xn_, f_, fp_, fv_: ocp.stage_merit_fused(
+                    model, params, x_, u_, xn_, f_, fp_, fv_, dt)
+            )(xs[:N], us, refs.x_nom[:N], refs.contact_flags[:N],
+              refs.foot_pos_ref[:N], refs.foot_vel_ref[:N])
+        else:
+            costs, xnext, eq_res = ocp.stage_merit_batch(
+                model, params, xs[:N], us, refs.x_nom[:N], refs.contact_flags[:N],
+                refs.foot_pos_ref[:N], refs.foot_vel_ref[:N], dt,
+            )
         if params.collision is not None:
             from ..ocp import self_collision as sc
             costs = costs + sc.collision_penalty_batch(

@@ -182,7 +182,7 @@ def hierarchical_wbc_update(model: RobotModel, params: WbcParams, state: WbcStat
     x = jnp.where(ok, x2,
                   jnp.where(state.has_last, state.last_solution,
                             jnp.zeros(NDEC, dtype)))
-    return x, WbcState(last_solution=x, has_last=jnp.asarray(True))
+    return x, state._replace(last_solution=x, has_last=jnp.asarray(True))
 
 
 def solve_hierarchy(tasks, n, qp_iters: int = 20):

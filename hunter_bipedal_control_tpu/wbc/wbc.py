@@ -70,6 +70,12 @@ class WbcParams(NamedTuple):
     # relative primal-residual acceptance (scaled by the constraint rhs
     # magnitude); above it the last-solution fallback engages
     qp_accept_tol: float = 5e-3
+    # warm-start the PDIP from the previous tick's primal/duals (the
+    # qpOASES setToMPC analog, WeightedWbc.cpp:44-55) and cut the fixed
+    # iteration count accordingly; cold solves (first tick, post-fallback)
+    # keep the default interior initialization inside the same trace
+    qp_warm_start: bool = True
+    qp_iters_warm: int = 10
 
 
 def default_wbc_params(dtype=jnp.float32) -> WbcParams:
@@ -90,13 +96,22 @@ def default_wbc_params(dtype=jnp.float32) -> WbcParams:
     )
 
 
+N_EQ_ROWS = NV + NF          # 28: EoM + swing zero-force
+N_INEQ_ROWS = 2 * NJ + 5 * NUM_FEET  # 40: torque limits + friction pyramid
+
+
 class WbcState(NamedTuple):
     last_solution: jnp.ndarray  # (38,)
     has_last: jnp.ndarray
+    last_eq_dual: jnp.ndarray    # (28,) warm-start duals (setToMPC analog)
+    last_ineq_dual: jnp.ndarray  # (40,)
 
 
 def init_wbc_state(dtype=jnp.float32) -> WbcState:
-    return WbcState(last_solution=jnp.zeros(NDEC, dtype), has_last=jnp.asarray(False))
+    return WbcState(last_solution=jnp.zeros(NDEC, dtype),
+                    has_last=jnp.asarray(False),
+                    last_eq_dual=jnp.zeros(N_EQ_ROWS, dtype),
+                    last_ineq_dual=jnp.ones(N_INEQ_ROWS, dtype))
 
 
 def _measured_pipeline(model: RobotModel, rbd_measured):
@@ -252,7 +267,20 @@ def wbc_update(model: RobotModel, params: WbcParams, state: WbcState,
     H = rows_A.T @ rows_A + 1e-6 * jnp.eye(NDEC, dtype=dtype)
     g = -rows_A.T @ rows_b
 
-    sol = solve_qp(H, g, Aeq, beq, Ain, bin_, n_iters=params.qp_iters)
+    if params.qp_warm_start:
+        # qpOASES setToMPC analog: restart the PDIP from the previous
+        # tick's primal/duals (recentred inside solve_qp); the cold first
+        # tick shares the trace via the where-selected defaults
+        warm = state.has_last
+        sol = solve_qp(
+            H, g, Aeq, beq, Ain, bin_, n_iters=params.qp_iters_warm,
+            x0=jnp.where(warm, state.last_solution, jnp.zeros(NDEC, dtype)),
+            lam0=jnp.where(warm, state.last_ineq_dual, 1.0),
+            nu0=jnp.where(warm, state.last_eq_dual, 0.0),
+            warm_margin=jnp.where(warm, 1e-2, 1.0),
+        )
+    else:
+        sol = solve_qp(H, g, Aeq, beq, Ain, bin_, n_iters=params.qp_iters)
 
     # acceptance mirrors qpOASES' status check (WeightedWbc.cpp:57-64): the
     # residual threshold scales with the constraint right-hand side (the EoM
@@ -263,7 +291,12 @@ def wbc_update(model: RobotModel, params: WbcParams, state: WbcState,
     ok = jnp.isfinite(sol.x).all() & (sol.primal_residual < params.qp_accept_tol * res_scale)
     x = jnp.where(ok & jnp.isfinite(sol.x).all(), sol.x,
                   jnp.where(state.has_last, state.last_solution, jnp.zeros(NDEC, dtype)))
-    new_state = WbcState(last_solution=x, has_last=jnp.asarray(True))
+    new_state = WbcState(
+        last_solution=x,
+        has_last=jnp.asarray(True),
+        last_eq_dual=jnp.where(ok, sol.eq_dual, state.last_eq_dual),
+        last_ineq_dual=jnp.where(ok, sol.ineq_dual, state.last_ineq_dual),
+    )
     return x, new_state
 
 

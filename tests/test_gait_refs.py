@@ -117,6 +117,40 @@ def test_velocity_adaptive_switching():
     assert ms.L_MODE in modes and ms.R_MODE in modes
 
 
+def test_flying_trot_threshold_is_latent_noop():
+    """STRICT PARITY with the reference's level-3 branch
+    (SwitchedModelReferenceManager.cpp:210-218): crossing the 0.4 m/s
+    average sets gaitLevel_=3 but inserts NO template, and getModeSchedule
+    keeps re-tiling the last inserted template (trot) — so the adaptive
+    controller must keep trotting above 0.4 m/s, with no FLY phase ever
+    entering the schedule."""
+    st = adaptive.init_gait_run_state()
+    target_state = jnp.zeros(22).at[0].set(0.2)
+    # ramp through trot first (0.03 < v < 0.4) ...
+    for _ in range(10):
+        st, vel_avg = adaptive.vel_abs_update(st, jnp.array([0.2, 0, 0, 0]), target_state)
+    st = adaptive.walk_gait_switch(st, vel_avg, 0.5, 5.0)
+    assert int(st.gait_level) == 1
+    # ... then cross the 0.4 threshold (the adaptive path's only route to 3)
+    target_state = jnp.zeros(22).at[0].set(0.6)
+    for _ in range(60):
+        st, vel_avg = adaptive.vel_abs_update(st, jnp.array([0.6, 0, 0, 0]), target_state)
+    assert float(vel_avg) >= 0.4
+    st = adaptive.walk_gait_switch(st, vel_avg, 1.0, 5.0)
+    assert int(st.gait_level) == 3          # level tracks the reference
+    # keep walking: extensions at level 3 continue TROT, never flying trot
+    for k in range(20):
+        t = 1.0 + 0.5 * k
+        st = adaptive.extend_schedule(st, t, t + 2.0)
+    real = np.asarray(st.schedule.event_times) < ms.BIG_TIME / 2
+    modes = np.asarray(st.schedule.modes)[:-1][real]
+    assert ms.FLY not in set(modes.tolist()), "flying trot leaked into the schedule"
+    assert {ms.L_MODE, ms.R_MODE} <= set(modes.tolist())
+    # and dropping back below 0.4 re-inserts trot (gaitLevel_ != 1 branch)
+    st2 = adaptive.walk_gait_switch(st, jnp.asarray(0.2), 11.0, 15.0)
+    assert int(st2.gait_level) == 1
+
+
 def test_compact_schedule_preserves_queries():
     """Compaction (GaitSchedule's deque-erase analog) must not change any
     query at t >= keep_from, and must free slots so the window can keep
