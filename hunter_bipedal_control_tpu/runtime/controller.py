@@ -51,6 +51,39 @@ def default_gains(dtype=jnp.float32) -> GainConfig:
     )
 
 
+# slider ranges of cfg/Tutorials.cfg (name -> (min, max))
+GAIN_LIMITS = {
+    "kp_position": (0.0, 300.0),
+    "kd_position": (0.0, 100.0),
+    "kp_big_stance": (0.0, 100.0),
+    "kp_big_swing": (0.0, 100.0),
+    "kd_big": (0.0, 20.0),
+    "kp_small_stance": (0.0, 100.0),
+    "kp_small_swing": (0.0, 100.0),
+    "kd_small": (0.0, 20.0),
+    "kd_feet": (0.0, 20.0),
+}
+
+
+def reconfigure_gains(gains: GainConfig, **updates) -> GainConfig:
+    """Live PD-gain reconfiguration (dynamicParamCallback parity,
+    LeggedController.cpp:433-447 + cfg/Tutorials.cfg slider ranges).
+
+    GainConfig fields are traced leaves of the jitted control tick, so the
+    returned config takes effect on the very next tick with NO recompilation
+    — the TPU-native analog of rqt dynamic_reconfigure
+    (tests/test_gain_reconfig.py asserts both properties)."""
+    bad = set(updates) - set(GAIN_LIMITS)
+    if bad:
+        raise ValueError(f"unknown gain fields: {sorted(bad)}")
+    new = {}
+    for name, value in updates.items():
+        lo, hi = GAIN_LIMITS[name]
+        ref = getattr(gains, name)
+        new[name] = jnp.clip(jnp.asarray(value, ref.dtype), lo, hi)
+    return gains._replace(**new)
+
+
 class JointCommand(NamedTuple):
     """The hybrid joint 5-tuple (pos, vel, kp, kd, feedforward)."""
 

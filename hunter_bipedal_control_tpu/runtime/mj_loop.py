@@ -40,7 +40,12 @@ class MjClosedLoop:
     """Jitted controller ↔ MuJoCo plant co-simulation driver."""
 
     def __init__(self, control_dt: float = 0.002, ticks_per_mpc: int = 5,
-                 q0=None, seed_estimator: bool = True, noise=None):
+                 q0=None, seed_estimator: bool = True, noise=None,
+                 lin_backend: str = "dense", wbc_params=None):
+        # lin_backend default 'dense': this loop runs the controller on the
+        # host CPU next to MuJoCo, where the SoA kernels' ~600k-line HLO
+        # compiles for minutes; 'dense' is oracle-identical (tests/test_soa)
+        # and ~10x faster to compile (see SqpSettings.lin_backend).
         import jax
         import jax.numpy as jnp
 
@@ -79,7 +84,7 @@ class MjClosedLoop:
         F32 = jnp.float32
         self._jnp = jnp
         self.model = load_model()
-        self.settings = sqp.SqpSettings()
+        self.settings = sqp.SqpSettings(lin_backend=lin_backend)
         self.dj = jnp.array(
             [0.10, 0., 0.40, 0.93, 0.53, -0.10, 0., -0.40, 0.93, -0.53], F32)
         qnom = jnp.concatenate(
@@ -87,8 +92,11 @@ class MjClosedLoop:
         self.params = ocp.make_input_cost(
             self.model, ocp.default_ocp_params(self.model), qnom)
         pcfg = swp.default_swing_config()
-        wbc_params = default_wbc_params()
-        gains = default_gains()
+        wbc_params = default_wbc_params() if wbc_params is None else wbc_params
+        # live-reconfigurable (dynamic_reconfigure analog): a GainConfig is a
+        # pytree of traced scalars passed into every tick — swap via
+        # `loop.gains = reconfigure_gains(loop.gains, ...)` mid-run, no retrace
+        self.gains = default_gains()
         self.cmd_cfg = tg.default_cmd_vel_config()
         kf_params = default_kalman_params()
         obs_params = default_contact_params()
@@ -102,27 +110,32 @@ class MjClosedLoop:
         self.plant = MjPlant(control_dt=control_dt, q0=q0)
         self.noise = noise  # optional backends.sensor_noise.SensorNoise
 
-        q0_arr = jnp.asarray(DEFAULT_Q0 if q0 is None else np.asarray(q0), F32)
+        self._default_q0 = DEFAULT_Q0
 
         # ---- host-side controller state -------------------------------
-        kf = init_kalman_state(F32)
-        if seed_estimator:
-            kin = fk(m, q0_arr)
-            feet = contact_positions(m, kin)
-            x_hat = jnp.zeros(18, F32)
-            x_hat = x_hat.at[0:3].set(q0_arr[0:3])
-            x_hat = x_hat.at[6:18].set(feet.reshape(-1))
-            kf = kf._replace(x_hat=x_hat, P=0.1 * jnp.eye(18, dtype=F32))
-        self.kf = kf
-        self.obs = init_contact_observer(F32)
-        self.wbc_state = init_wbc_state(F32)
-        self.gait = adaptive.init_gait_run_state(F32, 0.0)
-        self.mpc_state = mpc_mod.init_mpc_state(m, settings)
-        self.estop = jnp.asarray(False)
-        self.last_cmd_vel = jnp.zeros(4, F32)
-        self.policy = None
-        self.x_est = None  # latest centroidal estimate (device array)
-        self._win = None
+        def _fresh_state(q0_arr):
+            kf = init_kalman_state(F32)
+            if seed_estimator:
+                kin = fk(m, q0_arr)
+                feet = contact_positions(m, kin)
+                x_hat = jnp.zeros(18, F32)
+                x_hat = x_hat.at[0:3].set(q0_arr[0:3])
+                x_hat = x_hat.at[6:18].set(feet.reshape(-1))
+                kf = kf._replace(x_hat=x_hat, P=0.1 * jnp.eye(18, dtype=F32))
+            self.kf = kf
+            self.obs = init_contact_observer(F32)
+            self.wbc_state = init_wbc_state(F32)
+            self.gait = adaptive.init_gait_run_state(F32, 0.0)
+            self.mpc_state = mpc_mod.init_mpc_state(m, settings)
+            self.estop = jnp.asarray(False)
+            self.last_cmd_vel = jnp.zeros(4, F32)
+            self.policy = None
+            self.x_est = None  # latest centroidal estimate (device array)
+            self._win = None
+
+        self._fresh_state = _fresh_state
+        _fresh_state(jnp.asarray(DEFAULT_Q0 if q0 is None else np.asarray(q0),
+                                 F32))
 
         # ---- jitted controller functions -------------------------------
         def _estimate(kf, quat_xyzw, omega_local, accel_local, qj, vj,
@@ -151,7 +164,7 @@ class MjClosedLoop:
             return sol, mpc_state, gait, cmd_vel, ws, we
 
         def _tick(kf, obs, wbc_state, estop, last_tau, sol, sched, ws, we,
-                  t, quat, omega_local, accel_local, qj, vj, set_walk):
+                  t, quat, omega_local, accel_local, qj, vj, set_walk, gains):
             kf, rbd, x_now, cmd_contact = _estimate(
                 kf, quat, omega_local, accel_local, qj, vj, sched, t)
             obs, _ = momentum_observer_update(
@@ -174,6 +187,16 @@ class MjClosedLoop:
         self._tick_jit = jax.jit(_tick)
         self._estimate_jit = jax.jit(_estimate)
         self._empty_policy = None
+
+    # ------------------------------------------------------------------
+    def reset(self, q0=None):
+        """Reset plant + controller state without retracing the jitted
+        functions — sweep drivers (e.g. tools/push_envelope.py) reuse one
+        instance across scenarios."""
+        jnp = self._jnp
+        self.plant.reset(q0)
+        self._fresh_state(jnp.asarray(
+            self._default_q0 if q0 is None else np.asarray(q0), jnp.float32))
 
     # ------------------------------------------------------------------
     def _sense(self):
@@ -224,7 +247,7 @@ class MjClosedLoop:
                      self.x_est, rbd, est_c, early, late) = self._tick_jit(
                         self.kf, self.obs, self.wbc_state, self.estop,
                         last_tau, sol, sched, ws, we, jnp.asarray(tt, F32),
-                        quat, om, acc, qj, vj, set_walk)
+                        quat, om, acc, qj, vj, set_walk, self.gains)
                     self.plant.step(
                         np.asarray(cmd.pos_des, np.float64),
                         np.asarray(cmd.vel_des, np.float64),

@@ -35,6 +35,15 @@ class DdpSettings(NamedTuple):
     proj_reg: float = 1e-6
     min_step: float = 1e-2         # lineSearch.minStepLength
     alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
+    # TimeTriggeredRollout integrator for the nonlinear (line-search and
+    # feasibility) rollouts — the reference configures ODE45 here
+    # (task.info:131-140) while the SQP sensitivity integrator stays RK2.
+    # 'RK2' (default, fastest) | 'ODE45' | 'RK4'; see solver/rollout.py.
+    integrator: str = "RK2"
+    abs_tol: float = 1e-5          # AbsTolODE
+    rel_tol: float = 1e-3          # RelTolODE
+    max_steps_per_second: float = 10000.0
+    max_substeps: int = 16         # static bound on ODE45 slots per interval
 
 
 def solve(model: RobotModel, settings: DdpSettings, params: ocp.OcpParams,
@@ -47,6 +56,18 @@ def solve(model: RobotModel, settings: DdpSettings, params: ocp.OcpParams,
     nx = xs_ws.shape[1]
     nu = us_ws.shape[1]
     dtype = xs_ws.dtype
+
+    if settings.integrator.upper() == "RK2":
+        integ = lambda x, u: rk2_step(model, x, u, dt)  # noqa: E731
+    else:
+        from .rollout import RolloutSettings, rollout_step
+
+        rs = RolloutSettings(
+            abs_tol=settings.abs_tol, rel_tol=settings.rel_tol,
+            time_step=dt, integrator=settings.integrator,
+            max_steps_per_second=settings.max_steps_per_second,
+            max_substeps=settings.max_substeps)
+        integ = lambda x, u: rollout_step(model, x, u, dt, rs)  # noqa: E731
 
     def stage_cost(k, x, u):
         return ocp.stage_cost_value(
@@ -64,7 +85,7 @@ def solve(model: RobotModel, settings: DdpSettings, params: ocp.OcpParams,
                 model, params, x, u, refs.contact_flags[k],
                 refs.foot_pos_ref[k], refs.foot_vel_ref[k],
             )
-            x_next = rk2_step(model, x, u, dt)
+            x_next = integ(x, u)
             return x_next, (x, u, c, jnp.abs(g * mask).sum())
 
         ks = jnp.arange(N)
@@ -167,7 +188,7 @@ def solve(model: RobotModel, settings: DdpSettings, params: ocp.OcpParams,
     # re-close feasibility from the warm start: open-loop rollout of us_ws
     def reroll(x, inp):
         u = inp
-        return rk2_step(model, x, u, dt), x
+        return integ(x, u), x
 
     x_last, xs0 = jax.lax.scan(reroll, x_init, us_ws)
     xs_feasible = jnp.concatenate([xs0, x_last[None]], axis=0)

@@ -20,6 +20,7 @@ from ..ocp.problem import OcpParams, default_ocp_params, make_input_cost
 from ..refs.swing_planner import SwingConfig
 from ..refs.targets import CmdVelConfig
 from ..solver.ddp import DdpSettings
+from ..solver.rollout import RolloutSettings
 from ..solver.sqp import SqpSettings
 from ..wbc.wbc import WbcParams
 from . import info
@@ -61,6 +62,8 @@ class FrameworkConfig(NamedTuple):
     # solver in both): ddp -> solver/ddp.py SLQ, ipm -> parsed only
     ddp: DdpSettings = DdpSettings()
     ipm: IpmSettings = IpmSettings()
+    # TimeTriggeredRollout settings (task.info:131-140; LeggedInterface.cpp:156)
+    rollout: RolloutSettings = RolloutSettings()
 
 
 def load_task_config(model: RobotModel, task_path: str, reference_path: str | None = None,
@@ -92,6 +95,22 @@ def load_task_config(model: RobotModel, task_path: str, reference_path: str | No
                                 1e-5)),
         min_step=float(info.get(t, "ddp.lineSearch.minStepLength", 1e-2)),
     )
+    # --- rollout block (TimeTriggeredRollout, task.info:131-140) ---
+    rollout_settings = RolloutSettings(
+        abs_tol=float(info.get(t, "rollout.AbsTolODE", 1e-5)),
+        rel_tol=float(info.get(t, "rollout.RelTolODE", 1e-3)),
+        time_step=float(info.get(t, "rollout.timeStep", 0.015)),
+        integrator=str(info.get(t, "rollout.integratorType", "ODE45")),
+        max_steps_per_second=float(
+            info.get(t, "rollout.maxNumStepsPerSecond", 10000.0)),
+    )
+    ddp_settings = ddp_settings._replace(
+        integrator=rollout_settings.integrator,
+        abs_tol=rollout_settings.abs_tol,
+        rel_tol=rollout_settings.rel_tol,
+        max_steps_per_second=rollout_settings.max_steps_per_second,
+    )
+
     ipm_dt = float(info.get(t, "ipm.dt", dt))
     ipm_settings = IpmSettings(
         n_intervals=max(int(round(horizon / ipm_dt)), 2),
@@ -247,4 +266,5 @@ def load_task_config(model: RobotModel, task_path: str, reference_path: str | No
         initial_state=x_init,
         ddp=ddp_settings,
         ipm=ipm_settings,
+        rollout=rollout_settings,
     )

@@ -1,13 +1,24 @@
-"""Phase-level TPU timing of the batched MPC step.
+"""Phase-level TPU timing of the batched MPC step — CHAINED measurement.
 
-Times, at BENCH_B (default 128) on the attached TPU:
+Round-3 correction: the round-2 numbers in this tool's history were taken
+with one device dispatch per repetition, which through the axon tunnel adds
+~25 ms of host-RPC wall time to EVERY phase (tools/planner_prof.py measured
+24.5-27.4 ms for planner sub-stages whose device compute differs by an order
+of magnitude — the constant IS the dispatch).  Every phase is now timed as a
+K-step data-dependent chain inside one jit (the carry feeds the next step's
+inputs, so XLA cannot hoist the body), and the per-step time is the chained
+wall divided by K — the same discipline CLAUDE.md mandates for single-solve
+latency, applied to the phase profile.
+
+Phases at BENCH_B (default 128), 66 knots:
   - full_mpc_step      : prepare_references + warm start + SQP solve
   - prepare_references : gait/swing/IK/interp reference pipeline alone
-  - sqp_solve          : solve alone (precomputed reference bundles)
+  - sqp_solve          : solve alone (fixed reference bundles)
   - linearization      : the fused per-knot jacobian pass alone
-  - merit_x6           : six line-search merit rollouts alone
-The difference solve - linearization - merit_x6 approximates the
-projection + Riccati + forward-sweep share.  Prints one JSON line per phase.
+  - merit_x2           : the model-preselected line search's 2 exact merit
+                         rollouts (the production configuration)
+Residual = sqp_solve - linearization - merit_x2 ~ projection + Riccati +
+forward sweep.  Prints one JSON line per phase.
 
 Usage: python tools/phase_bench.py   (run in background; new HLOs compile
 slowly through the axon tunnel — results stream as they finish).
@@ -32,7 +43,8 @@ from hunter_bipedal_control_tpu.ocp import problem as ocp  # noqa: E402
 from hunter_bipedal_control_tpu.solver import mpc as mpc_mod, sqp  # noqa: E402
 
 B = int(os.environ.get("BENCH_B", "128"))
-REPS = int(os.environ.get("BENCH_REPS", "10"))
+REPS = int(os.environ.get("BENCH_REPS", "5"))
+K = int(os.environ.get("BENCH_CHAIN", "8"))
 
 m, settings, params, pcfg, dj, x0, sched, target = _build(n_intervals=66, horizon=1.0)
 state = mpc_mod.init_mpc_state(m, settings)
@@ -41,116 +53,158 @@ dt = settings.horizon / N
 xs_b = jnp.tile(x0[None], (B, 1)) + 0.001 * jnp.arange(B, dtype=x0.dtype)[:, None]
 
 
-def timeit(name, f, *a):
-    r = f(*a)
-    jax.block_until_ready(r)
+PHASES = os.environ.get("BENCH_PHASES", "").split(",") if \
+    os.environ.get("BENCH_PHASES") else None
+
+
+def timeit_chain(name, step, carry0):
+    """step: carry -> (carry, scalar).  Times K chained steps in one jit."""
+    if PHASES is not None and name not in PHASES:
+        return
+
+    @jax.jit
+    def run(c):
+        def body(c, _):
+            return step(c)
+        c, outs = jax.lax.scan(body, c, None, length=K)
+        return outs.sum()
+
+    jax.block_until_ready(run(carry0))
     t0 = time.perf_counter()
     for _ in range(REPS):
-        r = f(*a)
-        jax.block_until_ready(r)
-    ms = (time.perf_counter() - t0) / REPS * 1e3
+        jax.block_until_ready(run(carry0))
+    ms = (time.perf_counter() - t0) / (REPS * K) * 1e3
     print(json.dumps({"phase": name, "ms_per_batch": round(ms, 2),
-                      "B": B}), flush=True)
-    return r
+                      "B": B, "chain": K}), flush=True)
 
 
-# ---- full step ----
-def one_full(x):
-    sol, _, _ = mpc_mod.mpc_step(
-        m, settings, params, pcfg, state, sched, target, 0.0, x,
-        jnp.zeros(6, x.dtype), dj)
-    return sol.cost
+# ---- full step: next initial state = one-step-ahead policy state ----
+def full_step(xs):
+    def one(x):
+        sol, _, _ = mpc_mod.mpc_step(
+            m, settings, params, pcfg, state, sched, target, 0.0, x,
+            jnp.zeros(6, x.dtype), dj)
+        return sol.states[1], sol.cost
+    nxt, costs = jax.vmap(one)(xs)
+    return nxt, costs.sum()
 
-timeit("full_mpc_step", jax.jit(jax.vmap(one_full)), xs_b)
+
+timeit_chain("full_mpc_step", full_step, xs_b)
 
 
-# ---- prepare_references alone ----
+# ---- prepare_references alone (carry: x perturbed by the bundle) ----
+def prep_step(xs):
+    def one(x):
+        bundle, _, _, _ = mpc_mod.prepare_references(
+            m, settings, pcfg, state.planner, sched, target, 0.0, x,
+            jnp.zeros(6, x.dtype), dj)
+        return bundle
+    bundles = jax.vmap(one)(xs)
+    s = jnp.sum(bundles.x_nom) + jnp.sum(bundles.foot_pos_ref)
+    return xs + 1e-12 * s, s
+
+
+timeit_chain("prepare_references", prep_step, xs_b)
+
+
+# ---- fixed bundles + warm starts for the solver-side phases ----
 def one_prep(x):
     bundle, _, _, _ = mpc_mod.prepare_references(
         m, settings, pcfg, state.planner, sched, target, 0.0, x,
         jnp.zeros(6, x.dtype), dj)
     return bundle
 
-prep_j = jax.jit(jax.vmap(one_prep))
-bundles = timeit("prepare_references", prep_j, xs_b)
 
-
-# ---- warm-start trajectories (initializer, matches first solve) ----
-def one_ws(bundle, x):
-    return sqp.initializer_trajectories(m, settings, bundle, x)
-
-ws_j = jax.jit(jax.vmap(one_ws))
-xs_ws, us_ws = ws_j(bundles, xs_b)
+bundles = jax.jit(jax.vmap(one_prep))(xs_b)
+xs_ws, us_ws = jax.jit(jax.vmap(
+    lambda b, x: sqp.initializer_trajectories(m, settings, b, x)))(bundles, xs_b)
 jax.block_until_ready((xs_ws, us_ws))
 
 
-# ---- solve alone ----
-def one_solve(bundle, x, xw, uw):
-    return sqp.solve(m, settings, params, bundle, x, xw, uw).cost
-
-timeit("sqp_solve", jax.jit(jax.vmap(one_solve)), bundles, xs_b, xs_ws, us_ws)
-
-
-# ---- fused linearization alone ----
-def one_lin(bundle, xw, uw):
-    out = jax.vmap(
-        lambda k: ocp.knot_linearization_fused(
-            m, params, xw[k], uw[k], bundle.x_nom[k], bundle.contact_flags[k],
-            bundle.foot_pos_ref[k], bundle.foot_vel_ref[k], dt)
-    )(jnp.arange(N))
-    # sum every output so nothing is dead-code-eliminated
-    return sum(jnp.sum(o) for o in out)
-
-timeit("linearization", jax.jit(jax.vmap(one_lin)), bundles, xs_ws, us_ws)
+def solve_step(xs):
+    def one(b, x, xw, uw):
+        return sqp.solve(m, settings, params, b, x, xw, uw).cost
+    costs = jax.vmap(one)(bundles, xs, xs_ws, us_ws)
+    return xs + 1e-12 * costs[:, None], costs.sum()
 
 
-# ---- line-search merit x6 alone ----
-ALPHAS = jnp.asarray(settings.alphas, x0.dtype)
+timeit_chain("sqp_solve", solve_step, xs_b)
 
 
-def one_merit6(bundle, xw, uw):
-    def em(xs_, us_):
+def lin_step(carry):
+    xw, uw = carry
+
+    def one(xw_, uw_):
+        out = jax.vmap(
+            lambda k: ocp.knot_linearization_fused(
+                m, params, xw_[k], uw_[k], bundles.x_nom[0, k],
+                bundles.contact_flags[0, k], bundles.foot_pos_ref[0, k],
+                bundles.foot_vel_ref[0, k], dt)
+        )(jnp.arange(N))
+        return sum(jnp.sum(o) for o in out)
+
+    s = jax.vmap(one)(xw, uw).sum()
+    return (xw + 1e-15 * s, uw + 1e-15 * s), s
+
+
+timeit_chain("linearization", lin_step, (xs_ws, us_ws))
+
+
+def merit_step(carry):
+    """2 exact merit rollouts — the model-preselected line search's cost."""
+    xw, uw = carry
+
+    def em(b, xs_, us_):
         costs, xnext, eq = jax.vmap(
             lambda k: ocp.stage_merit_fused(
-                m, params, xs_[k], us_[k], bundle.x_nom[k],
-                bundle.contact_flags[k], bundle.foot_pos_ref[k],
-                bundle.foot_vel_ref[k], dt)
+                m, params, xs_[k], us_[k], b.x_nom[k], b.contact_flags[k],
+                b.foot_pos_ref[k], b.foot_vel_ref[k], dt)
         )(jnp.arange(N))
         return dt * costs.sum() + jnp.abs(xs_[1:] - xnext).sum() + jnp.abs(eq).sum()
 
-    def cand(alpha):
-        return em(xw * (1.0 + 0.01 * alpha), uw * (1.0 + 0.01 * alpha))
+    def one(b, xw_, uw_):
+        m1 = em(b, xw_, uw_)
+        m2 = em(b, xw_ * 0.999, uw_ * 0.999)
+        return m1 + m2
 
-    return jax.vmap(cand)(ALPHAS).sum()
-
-timeit("merit_x6", jax.jit(jax.vmap(one_merit6)), bundles, xs_ws, us_ws)
-print("done", flush=True)
+    s = jax.vmap(one)(bundles, xw, uw).sum()
+    return (xw + 1e-15 * s, uw + 1e-15 * s), s
 
 
-# ---- prepare_references sub-phases (round-3 target per DESIGN.md) ----
+timeit_chain("merit_x2", merit_step, (xs_ws, us_ws))
+
+
+# ---- planner + IK sub-split of prepare_references ----
 from hunter_bipedal_control_tpu.refs import swing_planner as swp  # noqa: E402
 
 
-def one_planner(x):
-    feet = mpc_mod._current_feet(m, x)
-    refs, _ = swp.update_planner(pcfg, state.planner, sched, target, 0.0,
-                                 settings.horizon, jnp.zeros(6, x.dtype), feet)
-    return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(refs))
+def planner_step(xs):
+    def one(x):
+        feet = mpc_mod._current_feet(m, x)
+        refs, _ = swp.update_planner(pcfg, state.planner, sched, target, 0.0,
+                                     settings.horizon, jnp.zeros(6, x.dtype),
+                                     feet)
+        return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(refs))
+    s = jax.vmap(one)(xs).sum()
+    return xs + 1e-12 * s, s
 
 
-timeit("prep_swing_planner", jax.jit(jax.vmap(one_planner)), xs_b)
+timeit_chain("prep_swing_planner", planner_step, xs_b)
 
 
-def one_jref(x):
-    feet = mpc_mod._current_feet(m, x)
-    refs, _ = swp.update_planner(pcfg, state.planner, sched, target, 0.0,
-                                 settings.horizon, jnp.zeros(6, x.dtype), feet)
-    n_samples = int(settings.horizon / mpc_mod.JOINT_REF_STEP) + 1
-    tt = mpc_mod._joint_reference(m, target, refs, 0.0, settings.horizon, x,
-                                  dj, n_samples)
-    return jnp.sum(tt.states)
+def jref_step(xs):
+    def one(x):
+        feet = mpc_mod._current_feet(m, x)
+        refs, _ = swp.update_planner(pcfg, state.planner, sched, target, 0.0,
+                                     settings.horizon, jnp.zeros(6, x.dtype),
+                                     feet)
+        n_samples = int(settings.horizon / mpc_mod.JOINT_REF_STEP) + 1
+        tt = mpc_mod._joint_reference(m, target, refs, 0.0, settings.horizon,
+                                      x, dj, n_samples)
+        return jnp.sum(tt.states)
+    s = jax.vmap(one)(xs).sum()
+    return xs + 1e-12 * s, s
 
 
-timeit("prep_planner_plus_ik", jax.jit(jax.vmap(one_jref)), xs_b)
-print("prep interp/bundle share = prepare_references - prep_planner_plus_ik",
-      flush=True)
+timeit_chain("prep_planner_plus_ik", jref_step, xs_b)
+print("done", flush=True)
