@@ -40,8 +40,11 @@ def main():
     # 1-second horizon per BASELINE.json metric definition
     n_int = 8 if quick else 66
     horizon = 0.24 if quick else 1.0
-    m, settings, params, pcfg, dj, x0, sched, target = _build(n_intervals=n_int,
-                                                              horizon=horizon)
+    # BENCH_LIN_BACKEND=dense for CPU smoke runs (the SoA kernels' HLO
+    # compiles for minutes on the CPU backend; see SqpSettings.lin_backend)
+    lin_backend = os.environ.get("BENCH_LIN_BACKEND", "soa")
+    m, settings, params, pcfg, dj, x0, sched, target = _build(
+        n_intervals=n_int, horizon=horizon, lin_backend=lin_backend)
     state = mpc_mod.init_mpc_state(m, settings)
 
     def one_mpc(x_init):
@@ -52,14 +55,45 @@ def main():
         return sol.cost
 
     # ---- batched MPC throughput ----
+    # Headline = CHAINED batched steps (each step's initial states are the
+    # previous step's one-step-ahead policy states — data-dependent, so XLA
+    # cannot hoist the body): sustained device throughput, the number a
+    # persistent-loop deployment sees.  The per-call figure is kept as a
+    # secondary stat; through the axon tunnel it carries ~25 ms of host-RPC
+    # dispatch per call, whose jitter explained the round-2 "regression"
+    # (docs/DESIGN.md round-3 measurement note).
     xs = jnp.tile(x0[None], (B, 1)) + 0.001 * jnp.arange(B, dtype=x0.dtype)[:, None]
+
+    def one_mpc_next(x_init):
+        sol, _, _ = mpc_mod.mpc_step(
+            m, settings, params, pcfg, state, sched, target, 0.0, x_init,
+            jnp.zeros(6, x_init.dtype), dj,
+        )
+        return sol.states[1], sol.cost
+
+    K_BCHAIN = 2 if quick else 5
+
+    @jax.jit
+    def bat_chain(xs_):
+        def body(c, _):
+            nxt, costs = jax.vmap(one_mpc_next)(c)
+            return nxt, costs.sum()
+        _, s = jax.lax.scan(body, xs_, None, length=K_BCHAIN)
+        return s.sum()
+
+    bat_chain(xs).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        bat_chain(xs).block_until_ready()
+    dt_b = (time.perf_counter() - t0) / (reps * K_BCHAIN)
+    mpc_per_s = B / dt_b
+
     bat = jax.jit(jax.vmap(one_mpc))
     bat(xs).block_until_ready()
     t0 = time.perf_counter()
     for _ in range(reps):
         bat(xs).block_until_ready()
-    dt_b = (time.perf_counter() - t0) / reps
-    mpc_per_s = B / dt_b
+    mpc_per_s_percall = B / ((time.perf_counter() - t0) / reps)
 
     # ---- single-scenario latency (real-time path) ----
     # Per-call wall time through the axon tunnel is dominated by host->TPU
@@ -122,7 +156,8 @@ def main():
     from hunter_bipedal_control_tpu.runtime import loop as rloop, sim_loop
     from hunter_bipedal_control_tpu.runtime.controller import default_gains
 
-    rt_settings = sqp.SqpSettings(n_intervals=n_int, horizon=horizon)
+    rt_settings = sqp.SqpSettings(n_intervals=n_int, horizon=horizon,
+                                  lin_backend=lin_backend)
     q0 = jnp.concatenate([jnp.asarray([0., 0., 0.624], x0.dtype),
                           jnp.zeros(3, x0.dtype), dj])
     rt_state = sim_loop.init_sim_loop_state(m, rt_settings, q0)
@@ -217,14 +252,37 @@ def main():
     t0 = time.perf_counter()
     for _ in range(reps):
         wbat(rbds).block_until_ready()
-    wbc_per_s = WB * reps / (time.perf_counter() - t0)
+    wbc_per_s_cold = WB * reps / (time.perf_counter() - t0)
+
+    # warm steady-state (deployment regime): chained ticks carrying WbcState,
+    # so every solve after the first runs the warm-started qp_iters_warm
+    # PDIP from the previous tick's primal/duals (qpOASES setToMPC analog,
+    # WeightedWbc.cpp:44-55).
+    K_WCHAIN = 2 if quick else 6
+
+    def one_wbc_warm(rbd_i):
+        def body(wx, k):
+            x_sol, wx = wbc_update(m, wp, wx, x0, u0,
+                                   rbd_i + 1e-5 * k.astype(x0.dtype),
+                                   jnp.ones(4, x0.dtype), jnp.asarray(False))
+            return wx, x_sol[0]
+        wx, outs = jax.lax.scan(body, init_wbc_state(), jnp.arange(K_WCHAIN))
+        return outs.sum()
+
+    wwarm = jax.jit(jax.vmap(one_wbc_warm))
+    wwarm(rbds).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        wwarm(rbds).block_until_ready()
+    wbc_per_s = WB * K_WCHAIN * reps / (time.perf_counter() - t0)
 
     out = {
-        "metric": "MPC solves/s/chip (batched, 1 s horizon, full ref-gen + SQP)",
+        "metric": "MPC solves/s/chip (batched chained, 1 s horizon, full ref-gen + SQP)",
         "value": round(mpc_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(mpc_per_s / 100.0, 2),
         "mpc_batch": B,
+        "mpc_per_s_percall": round(mpc_per_s_percall, 1),
         "mpc_single_p50_ms": round(lat_p50, 2),
         "mpc_single_p99_ms": round(lat_p99, 2),
         "mpc_single_std_ms": round(lat_std, 2),
@@ -239,6 +297,7 @@ def main():
         "ctrl_period_ms": round(ctrl_period_ms, 2),
         "ctrl_rt_factor": round(10.0 / ctrl_period_ms, 2),
         "wbc_solves_per_s": round(wbc_per_s, 1),
+        "wbc_solves_per_s_cold": round(wbc_per_s_cold, 1),
         "wbc_batch": WB,
         "device": str(jax.devices()[0]),
     }

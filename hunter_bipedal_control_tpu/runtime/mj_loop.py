@@ -41,7 +41,8 @@ class MjClosedLoop:
 
     def __init__(self, control_dt: float = 0.002, ticks_per_mpc: int = 5,
                  q0=None, seed_estimator: bool = True, noise=None,
-                 lin_backend: str = "dense", wbc_params=None):
+                 lin_backend: str = "dense", wbc_params=None,
+                 cheater: bool = False):
         # lin_backend default 'dense': this loop runs the controller on the
         # host CPU next to MuJoCo, where the SoA kernels' ~600k-line HLO
         # compiles for minutes; 'dense' is oracle-identical (tests/test_soa)
@@ -109,6 +110,7 @@ class MjClosedLoop:
 
         self.plant = MjPlant(control_dt=control_dt, q0=q0)
         self.noise = noise  # optional backends.sensor_noise.SensorNoise
+        self.cheater = bool(cheater)  # legged_cheater_controller analog
 
         self._default_q0 = DEFAULT_Q0
 
@@ -163,10 +165,8 @@ class MjClosedLoop:
             ws, we, _ = swing_windows(gait.schedule, t - horizon, t + 2 * horizon)
             return sol, mpc_state, gait, cmd_vel, ws, we
 
-        def _tick(kf, obs, wbc_state, estop, last_tau, sol, sched, ws, we,
-                  t, quat, omega_local, accel_local, qj, vj, set_walk, gains):
-            kf, rbd, x_now, cmd_contact = _estimate(
-                kf, quat, omega_local, accel_local, qj, vj, sched, t)
+        def _tick_core(kf, obs, wbc_state, estop, last_tau, sol, sched, ws,
+                       we, t, rbd, x_now, cmd_contact, set_walk, gains):
             obs, _ = momentum_observer_update(
                 m, obs_params, obs, rbd, last_tau, control_dt)
             p = phase_index_at_time(sched, t)
@@ -183,8 +183,29 @@ class MjClosedLoop:
             return (out.command, kf, obs, wbc_state, out.emergency_stop,
                     x_now, rbd, est_contact, early, late)
 
+        def _tick(kf, obs, wbc_state, estop, last_tau, sol, sched, ws, we,
+                  t, quat, omega_local, accel_local, qj, vj, set_walk, gains):
+            kf, rbd, x_now, cmd_contact = _estimate(
+                kf, quat, omega_local, accel_local, qj, vj, sched, t)
+            return _tick_core(kf, obs, wbc_state, estop, last_tau, sol, sched,
+                              ws, we, t, rbd, x_now, cmd_contact, set_walk,
+                              gains)
+
+        def _tick_cheater(kf, obs, wbc_state, estop, last_tau, sol, sched,
+                          ws, we, t, q_true, v_true, set_walk, gains):
+            """FromTopicStateEstimate parity (estim/cheater.py): ground truth
+            replaces the KF; the observer/classifier still run on it."""
+            from ..estim.cheater import cheater_estimate
+
+            rbd, x_now = cheater_estimate(m, q_true, v_true)
+            cmd_contact = jnp.asarray(MODE_CONTACTS, F32)[mode_at_time(sched, t)]
+            return _tick_core(kf, obs, wbc_state, estop, last_tau, sol, sched,
+                              ws, we, t, rbd, x_now, cmd_contact, set_walk,
+                              gains)
+
         self._period_jit = jax.jit(_period)
         self._tick_jit = jax.jit(_tick)
+        self._tick_cheater_jit = jax.jit(_tick_cheater)
         self._estimate_jit = jax.jit(_estimate)
         self._empty_policy = None
 
@@ -229,10 +250,17 @@ class MjClosedLoop:
                 t = self.plant.t
                 # ensure an estimate exists for the solver (first period)
                 if self.x_est is None:
-                    quat, om, acc, qj, vj = self._sense()
-                    self.kf, _, self.x_est, _ = self._estimate_jit(
-                        self.kf, quat, om, acc, qj, vj,
-                        self.gait.schedule, jnp.asarray(t, F32))
+                    if self.cheater:
+                        from ..estim.cheater import cheater_estimate
+                        q_true, v_true = self.plant.state()
+                        _, self.x_est = cheater_estimate(
+                            self.model, jnp.asarray(q_true, F32),
+                            jnp.asarray(v_true, F32))
+                    else:
+                        quat, om, acc, qj, vj = self._sense()
+                        self.kf, _, self.x_est, _ = self._estimate_jit(
+                            self.kf, quat, om, acc, qj, vj,
+                            self.gait.schedule, jnp.asarray(t, F32))
                 (sol, self.mpc_state, self.gait, self.last_cmd_vel,
                  ws, we) = self._period_jit(
                     self.mpc_state, self.gait, self.last_cmd_vel,
@@ -242,12 +270,23 @@ class MjClosedLoop:
 
                 for _ in range(self.ticks_per_mpc):
                     tt = self.plant.t
-                    quat, om, acc, qj, vj = self._sense()
-                    (cmd, self.kf, self.obs, self.wbc_state, self.estop,
-                     self.x_est, rbd, est_c, early, late) = self._tick_jit(
-                        self.kf, self.obs, self.wbc_state, self.estop,
-                        last_tau, sol, sched, ws, we, jnp.asarray(tt, F32),
-                        quat, om, acc, qj, vj, set_walk, self.gains)
+                    if self.cheater:
+                        q_true, v_true = self.plant.state()
+                        (cmd, self.kf, self.obs, self.wbc_state, self.estop,
+                         self.x_est, rbd, est_c, early, late) = \
+                            self._tick_cheater_jit(
+                                self.kf, self.obs, self.wbc_state, self.estop,
+                                last_tau, sol, sched, ws, we,
+                                jnp.asarray(tt, F32),
+                                jnp.asarray(q_true, F32),
+                                jnp.asarray(v_true, F32), set_walk, self.gains)
+                    else:
+                        quat, om, acc, qj, vj = self._sense()
+                        (cmd, self.kf, self.obs, self.wbc_state, self.estop,
+                         self.x_est, rbd, est_c, early, late) = self._tick_jit(
+                            self.kf, self.obs, self.wbc_state, self.estop,
+                            last_tau, sol, sched, ws, we, jnp.asarray(tt, F32),
+                            quat, om, acc, qj, vj, set_walk, self.gains)
                     self.plant.step(
                         np.asarray(cmd.pos_des, np.float64),
                         np.asarray(cmd.vel_des, np.float64),

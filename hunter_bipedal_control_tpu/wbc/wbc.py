@@ -70,12 +70,18 @@ class WbcParams(NamedTuple):
     # relative primal-residual acceptance (scaled by the constraint rhs
     # magnitude); above it the last-solution fallback engages
     qp_accept_tol: float = 5e-3
-    # warm-start the PDIP from the previous tick's primal/duals (the
-    # qpOASES setToMPC analog, WeightedWbc.cpp:44-55) and cut the fixed
-    # iteration count accordingly; cold solves (first tick, post-fallback)
-    # keep the default interior initialization inside the same trace
+    # warm-start the PDIP from the previous tick's PRIMAL (the qpOASES
+    # setToMPC analog, WeightedWbc.cpp:44-55) and cut the fixed iteration
+    # count; cold solves (first tick) share the trace.  Duals restart at
+    # the cold interior init: carrying them poisons the solve when contact
+    # flags flip between ticks — the masked-row slacks (bin=BIG) hold the
+    # stale duals' barrier weight while the rows' meaning changed, and the
+    # walking MuJoCo loop fell within 1 s of trot onset even at the full 18
+    # iterations (round-3 bisect, docs/DESIGN.md); primal-only warm start
+    # at 10 iterations walks indistinguishably from cold-18.
     qp_warm_start: bool = True
     qp_iters_warm: int = 10
+    qp_warm_duals: bool = False
 
 
 def default_wbc_params(dtype=jnp.float32) -> WbcParams:
@@ -272,12 +278,23 @@ def wbc_update(model: RobotModel, params: WbcParams, state: WbcState,
         # tick's primal/duals (recentred inside solve_qp); the cold first
         # tick shares the trace via the where-selected defaults
         warm = state.has_last
+        if params.qp_warm_duals:
+            lam0 = jnp.where(warm, state.last_ineq_dual,
+                             jnp.asarray(1.0, dtype))
+            nu0 = jnp.where(warm, state.last_eq_dual,
+                            jnp.asarray(0.0, dtype))
+            # dtype-pinned: under jax_enable_x64 a python-float pair would
+            # promote the PDIP scan carry to f64 and break the f32 trace
+            margin = jnp.where(warm, jnp.asarray(1e-2, dtype),
+                               jnp.asarray(1.0, dtype))
+        else:
+            lam0 = jnp.ones(N_INEQ_ROWS, dtype)
+            nu0 = jnp.zeros(N_EQ_ROWS, dtype)
+            margin = jnp.asarray(1.0, dtype)
         sol = solve_qp(
             H, g, Aeq, beq, Ain, bin_, n_iters=params.qp_iters_warm,
             x0=jnp.where(warm, state.last_solution, jnp.zeros(NDEC, dtype)),
-            lam0=jnp.where(warm, state.last_ineq_dual, 1.0),
-            nu0=jnp.where(warm, state.last_eq_dual, 0.0),
-            warm_margin=jnp.where(warm, 1e-2, 1.0),
+            lam0=lam0, nu0=nu0, warm_margin=margin,
         )
     else:
         sol = solve_qp(H, g, Aeq, beq, Ain, bin_, n_iters=params.qp_iters)
