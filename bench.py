@@ -55,41 +55,25 @@ def main():
         return sol.cost
 
     # ---- batched MPC throughput ----
-    # Headline = CHAINED batched steps (each step's initial states are the
-    # previous step's one-step-ahead policy states — data-dependent, so XLA
-    # cannot hoist the body): sustained device throughput, the number a
-    # persistent-loop deployment sees.  The per-call figure is kept as a
-    # secondary stat; through the axon tunnel it carries ~25 ms of host-RPC
-    # dispatch per call, whose jitter explained the round-2 "regression"
-    # (docs/DESIGN.md round-3 measurement note).
+    # Headline = PIPELINED batched steps: queue `reps` executions of the
+    # jitted batch via JAX async dispatch and block once — host-RPC
+    # dispatch (~25 ms/call through the axon tunnel) overlaps with device
+    # execution, so this measures sustained device throughput, the number a
+    # persistent-loop deployment sees.  Measured identical to a
+    # data-dependent in-graph chain of the same step (73.1 vs 73.4 ms at
+    # B=128, docs/DESIGN.md round-3 note) while reusing the SAME executable
+    # as the per-call figure — no extra multi-step HLO to compile.  The
+    # blocking per-call figure is kept as a secondary stat; its dispatch
+    # jitter explained the round-2 "regression" (DESIGN.md).
     xs = jnp.tile(x0[None], (B, 1)) + 0.001 * jnp.arange(B, dtype=x0.dtype)[:, None]
-
-    def one_mpc_next(x_init):
-        sol, _, _ = mpc_mod.mpc_step(
-            m, settings, params, pcfg, state, sched, target, 0.0, x_init,
-            jnp.zeros(6, x_init.dtype), dj,
-        )
-        return sol.states[1], sol.cost
-
-    K_BCHAIN = 2 if quick else 5
-
-    @jax.jit
-    def bat_chain(xs_):
-        def body(c, _):
-            nxt, costs = jax.vmap(one_mpc_next)(c)
-            return nxt, costs.sum()
-        _, s = jax.lax.scan(body, xs_, None, length=K_BCHAIN)
-        return s.sum()
-
-    bat_chain(xs).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        bat_chain(xs).block_until_ready()
-    dt_b = (time.perf_counter() - t0) / (reps * K_BCHAIN)
-    mpc_per_s = B / dt_b
 
     bat = jax.jit(jax.vmap(one_mpc))
     bat(xs).block_until_ready()
+    K_PIPE = 3 if quick else 10
+    t0 = time.perf_counter()
+    jax.block_until_ready([bat(xs) for _ in range(K_PIPE)])
+    mpc_per_s = B * K_PIPE / (time.perf_counter() - t0)
+
     t0 = time.perf_counter()
     for _ in range(reps):
         bat(xs).block_until_ready()
@@ -277,7 +261,7 @@ def main():
     wbc_per_s = WB * K_WCHAIN * reps / (time.perf_counter() - t0)
 
     out = {
-        "metric": "MPC solves/s/chip (batched chained, 1 s horizon, full ref-gen + SQP)",
+        "metric": "MPC solves/s/chip (batched pipelined, 1 s horizon, full ref-gen + SQP)",
         "value": round(mpc_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(mpc_per_s / 100.0, 2),

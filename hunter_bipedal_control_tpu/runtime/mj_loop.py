@@ -42,7 +42,7 @@ class MjClosedLoop:
     def __init__(self, control_dt: float = 0.002, ticks_per_mpc: int = 5,
                  q0=None, seed_estimator: bool = True, noise=None,
                  lin_backend: str = "dense", wbc_params=None,
-                 cheater: bool = False):
+                 cheater: bool = False, kf_contact: str = "cmd"):
         # lin_backend default 'dense': this loop runs the controller on the
         # host CPU next to MuJoCo, where the SoA kernels' ~600k-line HLO
         # compiles for minutes; 'dense' is oracle-identical (tests/test_soa)
@@ -111,6 +111,14 @@ class MjClosedLoop:
         self.plant = MjPlant(control_dt=control_dt, q0=q0)
         self.noise = noise  # optional backends.sensor_noise.SensorNoise
         self.cheater = bool(cheater)  # legged_cheater_controller analog
+        # KF leg-odometry gating: 'cmd' = schedule contact flags (strict
+        # reference parity, LeggedController.cpp:296-303); 'est' = schedule
+        # AND the momentum-observer contact estimate from the previous tick
+        # — drops the heel during toe-roll, where the schedule pins a foot
+        # point that is actually translating (velocity-bias experiment,
+        # docs/DESIGN.md round-3 tracking section)
+        assert kf_contact in ("cmd", "est")
+        self.kf_contact = kf_contact
 
         self._default_q0 = DEFAULT_Q0
 
@@ -131,6 +139,7 @@ class MjClosedLoop:
             self.mpc_state = mpc_mod.init_mpc_state(m, settings)
             self.estop = jnp.asarray(False)
             self.last_cmd_vel = jnp.zeros(4, F32)
+            self.last_est_contact = jnp.ones(4, F32)
             self.policy = None
             self.x_est = None  # latest centroidal estimate (device array)
             self._win = None
@@ -140,14 +149,18 @@ class MjClosedLoop:
                                  F32))
 
         # ---- jitted controller functions -------------------------------
+        kf_use_est = self.kf_contact == "est"
+
         def _estimate(kf, quat_xyzw, omega_local, accel_local, qj, vj,
-                      sched, t):
+                      sched, t, est_prev):
             zyx = quat_to_zyx(quat_xyzw)
             omega_world = rotation_zyx(zyx) @ omega_local
             cmd_contact = jnp.asarray(MODE_CONTACTS, F32)[mode_at_time(sched, t)]
+            gate = jnp.minimum(cmd_contact, est_prev) if kf_use_est \
+                else cmd_contact
             kf, pos, vel = kalman_update(
                 m, kf_params, kf, zyx, qj, vj, omega_world, quat_xyzw,
-                accel_local, cmd_contact, control_dt)
+                accel_local, gate, control_dt)
             rbd = jnp.concatenate([zyx, pos, qj, omega_world, vel, vj])
             return kf, rbd, rbd_state_to_centroidal(m, rbd), cmd_contact
 
@@ -184,9 +197,10 @@ class MjClosedLoop:
                     x_now, rbd, est_contact, early, late)
 
         def _tick(kf, obs, wbc_state, estop, last_tau, sol, sched, ws, we,
-                  t, quat, omega_local, accel_local, qj, vj, set_walk, gains):
+                  t, quat, omega_local, accel_local, qj, vj, set_walk, gains,
+                  est_prev):
             kf, rbd, x_now, cmd_contact = _estimate(
-                kf, quat, omega_local, accel_local, qj, vj, sched, t)
+                kf, quat, omega_local, accel_local, qj, vj, sched, t, est_prev)
             return _tick_core(kf, obs, wbc_state, estop, last_tau, sol, sched,
                               ws, we, t, rbd, x_now, cmd_contact, set_walk,
                               gains)
@@ -260,7 +274,8 @@ class MjClosedLoop:
                         quat, om, acc, qj, vj = self._sense()
                         self.kf, _, self.x_est, _ = self._estimate_jit(
                             self.kf, quat, om, acc, qj, vj,
-                            self.gait.schedule, jnp.asarray(t, F32))
+                            self.gait.schedule, jnp.asarray(t, F32),
+                            self.last_est_contact)
                 (sol, self.mpc_state, self.gait, self.last_cmd_vel,
                  ws, we) = self._period_jit(
                     self.mpc_state, self.gait, self.last_cmd_vel,
@@ -286,7 +301,9 @@ class MjClosedLoop:
                          self.x_est, rbd, est_c, early, late) = self._tick_jit(
                             self.kf, self.obs, self.wbc_state, self.estop,
                             last_tau, sol, sched, ws, we, jnp.asarray(tt, F32),
-                            quat, om, acc, qj, vj, set_walk, self.gains)
+                            quat, om, acc, qj, vj, set_walk, self.gains,
+                            self.last_est_contact)
+                        self.last_est_contact = jnp.asarray(est_c, F32)
                     self.plant.step(
                         np.asarray(cmd.pos_des, np.float64),
                         np.asarray(cmd.vel_des, np.float64),

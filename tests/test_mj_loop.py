@@ -17,12 +17,12 @@ WEIGHT = 12.5869 * 9.81
 
 @pytest.fixture(scope="module")
 def stand_walk_telemetry():
-    """One shared run: 1.0 s stance hold -> walk 2.5 s at 0.3 m/s."""
+    """One shared run: 1.0 s stance hold -> walk 3.5 s at 0.3 m/s."""
     loop = MjClosedLoop()
     telem = loop.run([
         Segment(1.0, (0., 0., 0., 0.), set_walk=False),
         Segment(0.5, (0., 0., 0., 0.), set_walk=True),
-        Segment(2.5, (0.3, 0., 0., 0.), set_walk=True),
+        Segment(3.5, (0.3, 0., 0., 0.), set_walk=True),
     ])
     return loop, telem
 
@@ -45,15 +45,21 @@ def test_stand_on_mujoco(stand_walk_telemetry):
 
 @pytest.mark.slow
 def test_walk_on_mujoco(stand_walk_telemetry):
-    """Walking at 0.3 m/s on MuJoCo: stays up, tracks, makes progress."""
+    """Walking at 0.3 m/s on MuJoCo: stays up, TRACKS (round-3 band), makes
+    progress.
+
+    Tracking band |mean vx - cmd| < 0.07 over the last 2 s (VERDICT r2 #3;
+    measured decomposition in docs/DESIGN.md round-3 tracking section:
+    steady mean ~ +0.050 above command, dominated by the KF leg-odometry
+    velocity bias — ground-truth estimation walks ~12% BELOW command)."""
     loop, telem = stand_walk_telemetry
     assert not bool(loop.estop)
     t = telem["t"]
     assert telem["base_z"].min() > 0.55          # never collapses
-    late = t > t[-1] - 1.0
+    late = t > t[-1] - 2.0
     vx = telem["v"][late, 0]
-    assert 0.1 < vx.mean() < 0.55                # tracks the command
-    assert telem["q"][-1, 0] > 0.3               # net forward progress
+    assert abs(vx.mean() - 0.3) < 0.07           # tracking band
+    assert telem["q"][-1, 0] > 0.5               # net forward progress
     # trot engaged (gait level left stance)
     assert telem["gait_level"][-1] >= 1
 
@@ -89,3 +95,29 @@ def test_push_recovery_on_mujoco():
     tail = telem["t"] > telem["t"][-1] - 0.3
     assert np.abs(telem["q"][tail][:, 3:5]).max() < 0.12
     assert abs(z[tail].mean() - 0.645) < 0.03
+
+
+@pytest.mark.slow
+def test_push_envelope_stance_bar():
+    """Declared stance push-recovery envelope (VERDICT r2 #5; sweep data
+    tools/push_envelope.py + docs/DESIGN.md round-3 envelope table):
+    standing recovery is ankle-strategy only (the stance override forbids
+    stepping), so the bar follows the support-polygon geometry — wide
+    laterally (feet at y=±0.11: ±y >= 5 N·s), short sagittally (toe at
+    x=+0.034 / heel at -0.056: -x >= 2 N·s; +x topples over the 3.4 cm toe
+    margin at any tested impulse and carries no bar)."""
+    loop = MjClosedLoop()
+    for fx, fy, imp in ((0.0, 1.0, 5.0), (0.0, -1.0, 5.0), (-1.0, 0.0, 2.0)):
+        loop.reset()
+        loop.run([Segment(0.6, (0., 0., 0., 0.), set_walk=False)],
+                 record=False)
+        f = imp / 0.1
+        loop.plant.apply_push([fx * f, fy * f, 0.0], duration=0.1)
+        telem = loop.run([Segment(1.6, (0., 0., 0., 0.), set_walk=False)])
+        tag = f"push ({fx},{fy}) x {imp} N*s"
+        assert not bool(loop.estop), tag
+        z = telem["base_z"]
+        assert z.min() > 0.45, tag
+        tail = telem["t"] > telem["t"][-1] - 0.3
+        assert np.abs(telem["q"][tail][:, 3:5]).max() < 0.15, tag
+        assert abs(z[tail].mean() - 0.645) < 0.04, tag
