@@ -252,7 +252,7 @@ class MjClosedLoop:
         telem = {k: [] for k in (
             "t", "base_z", "q", "v", "x_est", "contact_fz", "est_contact",
             "early", "late", "cmd", "cost", "violation", "gait_level",
-            "cmd_vx", "tau")} if record else None
+            "cmd_vx", "tau", "plan_vx")} if record else None
         last_tau = jnp.zeros(10, F32)
 
         for seg in segments:
@@ -329,6 +329,9 @@ class MjClosedLoop:
                         telem["violation"].append(float(sol.constraint_violation))
                         telem["gait_level"].append(int(self.gait.gait_level))
                         telem["cmd_vx"].append(float(cmd_vel_raw[0]))
+                        # solver's own planned forward speed at mid-horizon
+                        telem["plan_vx"].append(
+                            float(sol.states[sol.states.shape[0] // 2, 0]))
                 if callback is not None:
                     callback(self)
         if record:
