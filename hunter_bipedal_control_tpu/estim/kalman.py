@@ -117,9 +117,14 @@ def kalman_update(model: RobotModel, params: KalmanParams, state: KalmanState,
     B = B.at[0:3, :].set(0.5 * dt * dt * jnp.eye(3, dtype=dtype))
     B = B.at[3:6, :].set(dt * jnp.eye(3, dtype=dtype))
 
-    # noise (:105-136): base q scaled by dt terms, contact gating x100
+    # noise (:105-136): base q scaled by dt terms, contact gating x100.
+    # The gate interpolates continuously in the contact weight so callers
+    # may pass fractional confidences (e.g. force-weighted leg-odometry
+    # trust, runtime/mj_loop.py kf_contact='force'); for the reference's
+    # binary flags this is EXACTLY the original where(flag, 1, hs).
     hs = params.high_suspect_number
-    gate = jnp.where(contact_flags > 0.5, 1.0, hs)               # (4,)
+    w_c = jnp.clip(contact_flags, 0.0, 1.0)
+    gate = 1.0 + (hs - 1.0) * (1.0 - w_c)                        # (4,)
     q_diag = jnp.concatenate(
         [
             jnp.full(3, dt / 20.0, dtype) * params.imu_process_noise_position,

@@ -42,7 +42,7 @@ class MjClosedLoop:
     def __init__(self, control_dt: float = 0.002, ticks_per_mpc: int = 5,
                  q0=None, seed_estimator: bool = True, noise=None,
                  lin_backend: str = "dense", wbc_params=None,
-                 cheater: bool = False, kf_contact: str = "cmd"):
+                 cheater: bool = False, kf_contact: str = "rocker"):
         # lin_backend default 'dense': this loop runs the controller on the
         # host CPU next to MuJoCo, where the SoA kernels' ~600k-line HLO
         # compiles for minutes; 'dense' is oracle-identical (tests/test_soa)
@@ -114,10 +114,16 @@ class MjClosedLoop:
         # KF leg-odometry gating: 'cmd' = schedule contact flags (strict
         # reference parity, LeggedController.cpp:296-303); 'est' = schedule
         # AND the momentum-observer contact estimate from the previous tick
-        # — drops the heel during toe-roll, where the schedule pins a foot
-        # point that is actually translating (velocity-bias experiment,
-        # docs/DESIGN.md round-3 tracking section)
-        assert kf_contact in ("cmd", "est")
+        # (null result — the per-leg wrench cannot separate toe from heel);
+        # 'rocker' (default) = schedule x a kinematic rocker confidence
+        # that discounts whichever end of the foot FK says is lifted —
+        # during toe-roll the loaded heel sweeps forward at ~0.09 m/s while
+        # the binary gate pins it, the measured source of the -0.03 m/s KF
+        # velocity bias; with it the 0.35 m/s walk tracks at +0.348 (was
+        # +0.407 under strict parity gating) with yaw drift halved
+        # (docs/DESIGN.md round-3 tracking section).  'cmd' remains the
+        # strict-parity mode.
+        assert kf_contact in ("cmd", "est", "rocker")
         self.kf_contact = kf_contact
 
         self._default_q0 = DEFAULT_Q0
@@ -149,15 +155,26 @@ class MjClosedLoop:
                                  F32))
 
         # ---- jitted controller functions -------------------------------
-        kf_use_est = self.kf_contact == "est"
+        kf_mode = self.kf_contact
 
         def _estimate(kf, quat_xyzw, omega_local, accel_local, qj, vj,
                       sched, t, est_prev):
             zyx = quat_to_zyx(quat_xyzw)
             omega_world = rotation_zyx(zyx) @ omega_local
             cmd_contact = jnp.asarray(MODE_CONTACTS, F32)[mode_at_time(sched, t)]
-            gate = jnp.minimum(cmd_contact, est_prev) if kf_use_est \
-                else cmd_contact
+            if kf_mode == "est":
+                gate = jnp.minimum(cmd_contact, est_prev)
+            elif kf_mode == "rocker":
+                # toe/heel z from encoders+IMU (base-height-invariant):
+                # the lifted end of a rolling foot loses leg-odom trust
+                q_rel = jnp.concatenate([jnp.zeros(3, F32), zyx, qj])
+                z = contact_positions(m, fk(m, q_rel))[:, 2]
+                zmin_leg = jnp.minimum(z[0:2], z[2:4])       # per [L, R]
+                conf = jnp.clip(1.0 - (z - jnp.tile(zmin_leg, 2)) / 0.02,
+                                0.0, 1.0)
+                gate = cmd_contact * conf
+            else:
+                gate = cmd_contact
             kf, pos, vel = kalman_update(
                 m, kf_params, kf, zyx, qj, vj, omega_world, quat_xyzw,
                 accel_local, gate, control_dt)

@@ -104,10 +104,13 @@ def test_push_envelope_stance_bar():
     standing recovery is ankle-strategy only (the stance override forbids
     stepping), so the bar follows the support-polygon geometry — wide
     laterally (feet at y=±0.11: ±y >= 5 N·s), short sagittally (toe at
-    x=+0.034 / heel at -0.056: -x >= 2 N·s; +x topples over the 3.4 cm toe
-    margin at any tested impulse and carries no bar)."""
+    x=+0.034 / heel at -0.056: -x >= 2 N·s; +x >= 1 N·s — the CoM already
+    sits 1.15 cm ahead of the foothold center, so the capture-point bound
+    v·sqrt(z/g) <= 3.4-1.15 cm predicts ~1.1 N·s, and 1.5 N·s measured
+    topples)."""
     loop = MjClosedLoop()
-    for fx, fy, imp in ((0.0, 1.0, 5.0), (0.0, -1.0, 5.0), (-1.0, 0.0, 2.0)):
+    for fx, fy, imp in ((0.0, 1.0, 5.0), (0.0, -1.0, 5.0), (-1.0, 0.0, 2.0),
+                        (1.0, 0.0, 1.0)):
         loop.reset()
         loop.run([Segment(0.6, (0., 0., 0., 0.), set_walk=False)],
                  record=False)
