@@ -119,9 +119,9 @@ def kalman_update(model: RobotModel, params: KalmanParams, state: KalmanState,
 
     # noise (:105-136): base q scaled by dt terms, contact gating x100.
     # The gate interpolates continuously in the contact weight so callers
-    # may pass fractional confidences (e.g. force-weighted leg-odometry
-    # trust, runtime/mj_loop.py kf_contact='force'); for the reference's
-    # binary flags this is EXACTLY the original where(flag, 1, hs).
+    # may pass fractional confidences (the kinematic rocker-gated
+    # leg-odometry trust, runtime/mj_loop.py kf_contact='rocker'); for the
+    # reference's binary flags this is EXACTLY the original where(flag, 1, hs).
     hs = params.high_suspect_number
     w_c = jnp.clip(contact_flags, 0.0, 1.0)
     gate = 1.0 + (hs - 1.0) * (1.0 - w_c)                        # (4,)

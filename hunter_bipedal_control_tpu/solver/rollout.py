@@ -98,10 +98,21 @@ def _dopri_substeps(f, x, dt, s: RolloutSettings):
 def ode45_step(model: RobotModel, x, u, dt,
                settings: RolloutSettings = RolloutSettings()):
     """Integrate the centroidal flow over [0, dt] under zero-order-hold u
-    with adaptive DoPri5(4) (OCS2 IntegratorType::ODE45 parity)."""
-    x_end, _, _ = _dopri_substeps(
-        lambda xk: flow_map(model, xk, u), x, dt, settings)
-    return x_end
+    with adaptive DoPri5(4) (OCS2 IntegratorType::ODE45 parity).
+
+    If all ``max_substeps`` slots reject (stiff or diverging candidate
+    state, e.g. a bad DDP line-search point), the adaptive loop stops short
+    of ``dt``; a single fixed RK4 step finishes the residual span so the
+    returned state always corresponds to the full interval.
+    """
+    f = lambda xk: flow_map(model, xk, u)
+    x_end, t_end, _ = _dopri_substeps(f, x, dt, settings)
+    residual = jnp.maximum(jnp.asarray(dt, x.dtype) - t_end, 0.0)
+    k1 = f(x_end)
+    k2 = f(x_end + 0.5 * residual * k1)
+    k3 = f(x_end + 0.5 * residual * k2)
+    k4 = f(x_end + residual * k3)
+    return x_end + residual / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
 
 
 def rk4_step(model: RobotModel, x, u, dt):
