@@ -260,16 +260,16 @@ class DomainSweepResult(NamedTuple):
     estop: jnp.ndarray        # (B,)
 
 
-def run_domain_sweep(model: RobotModel, n_scenarios: int, n_periods: int = 50,
-                     cmd_vx: float = 0.25, mesh=None,
-                     settings: sqp_mod.SqpSettings | None = None, seed=2,
-                     chunk_size: int | None = None):
-    """Config 5: domain sweep over terrain pitch x gait cadence x payload
-    mass, walking at ``cmd_vx`` with the FULL estimator-in-the-loop physics
-    sim.  Terrain pitch tilts the plant's gravity field and mass_scale is
-    applied to the plant only — the controller keeps the nominal model, so
-    this measures robustness to model mismatch.  Shard over a multi-host
-    mesh ('host' x 'device' axes both map onto the batch) for 10k+ pod runs."""
+def domain_sweep_fn(model: RobotModel, mesh, n_periods: int = 50,
+                    cmd_vx: float = 0.25,
+                    settings: sqp_mod.SqpSettings | None = None):
+    """(jitted_fn, shard) for the config-5 domain sweep on ``mesh``.
+
+    Exposed separately from :func:`run_domain_sweep` so the multichip
+    dryrun can compile-inspect the per-scenario program (it must contain
+    NO collectives — cross-device communication belongs only in the
+    telemetry reduction, `sweep.psum_telemetry`) and time the same program
+    class on different mesh sizes for the weak-scaling assertion."""
     from ..backends.fullorder import default_sim_params
     from ..estim.contact import default_contact_params
     from ..estim.kalman import default_kalman_params
@@ -282,7 +282,6 @@ def run_domain_sweep(model: RobotModel, n_scenarios: int, n_periods: int = 50,
     params = ocp.make_input_cost(model, ocp.default_ocp_params(model), qnom)
     q0 = jnp.concatenate([jnp.asarray([0., 0., 0.624], dtype), jnp.zeros(3, dtype), dj])
 
-    dom = domain_randomization(n_scenarios, seed=seed)
     cmds = jnp.tile(jnp.asarray([cmd_vx, 0., 0., 0.], dtype)[None], (n_periods, 1))
     cmds = cmds.at[:10, :].set(0.0)  # ramp-in
 
@@ -311,10 +310,26 @@ def run_domain_sweep(model: RobotModel, n_scenarios: int, n_periods: int = 50,
             estop=fin.emergency_stop,
         )
 
-    if mesh is None:
-        mesh = make_mesh()
     shard = NamedSharding(mesh, P(tuple(mesh.axis_names)))
     fn = jax.jit(jax.vmap(one), in_shardings=shard, out_shardings=shard)
+    return fn, shard
+
+
+def run_domain_sweep(model: RobotModel, n_scenarios: int, n_periods: int = 50,
+                     cmd_vx: float = 0.25, mesh=None,
+                     settings: sqp_mod.SqpSettings | None = None, seed=2,
+                     chunk_size: int | None = None):
+    """Config 5: domain sweep over terrain pitch x gait cadence x payload
+    mass, walking at ``cmd_vx`` with the FULL estimator-in-the-loop physics
+    sim.  Terrain pitch tilts the plant's gravity field and mass_scale is
+    applied to the plant only — the controller keeps the nominal model, so
+    this measures robustness to model mismatch.  Shard over a multi-host
+    mesh ('host' x 'device' axes both map onto the batch) for 10k+ pod runs."""
+    if mesh is None:
+        mesh = make_mesh()
+    fn, shard = domain_sweep_fn(model, mesh, n_periods=n_periods,
+                                cmd_vx=cmd_vx, settings=settings)
+    dom = domain_randomization(n_scenarios, seed=seed)
     args = (dom["terrain_pitch"], dom["gait_scale"], dom["mass_scale"])
 
     if chunk_size is None or chunk_size >= n_scenarios:

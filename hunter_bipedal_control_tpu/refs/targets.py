@@ -172,7 +172,11 @@ def cmd_vel_to_target(cmd_vel, observation_state, t_now, horizon,
     nx = observation_state.shape[0]
     s0 = jnp.zeros(nx, observation_state.dtype)
     s0 = s0.at[0:3].set(v_world)
-    s0 = s0.at[3].set(cmd_vel[3])  # normalized yaw momentum placeholder (ref sets vcom + yaw rate)
+    # the reference sets ONLY the linear part (stateTrajectory[k].head(3) =
+    # cmdVelRot, .cpp:127-128); angular momentum targets stay zero and the
+    # yaw-rate command enters through the pose-yaw target below.  (An
+    # earlier revision wrote cmd_vel[3] into index 3 — the X angular
+    # momentum — injecting a spurious roll-momentum reference during turns.)
     s0 = s0.at[6:12].set(jnp.concatenate([current_pose[0:2], cfg.com_height[None],
                                           jnp.array([current_pose[3], 0.0, 0.0])]))
     s0 = s0.at[12:].set(cfg.default_joints)

@@ -114,10 +114,25 @@ _FEET = _np.asarray([0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0], _np.float32)
 def control_tick(model: RobotModel, wbc_params: WbcParams, gains: GainConfig,
                  wbc_state: WbcState, policy: SqpSolution, schedule: ModeSchedule,
                  t, x_est, rbd_measured, default_joints, set_walk,
-                 emergency_stop, loop_dt):
-    """One 500 Hz controller update.  Returns (TickOutput, new WbcState)."""
+                 emergency_stop, loop_dt, policy_lead=0.0):
+    """One 500 Hz controller update.  Returns (TickOutput, new WbcState).
+
+    ``policy_lead`` evaluates the primal policy ``lead`` seconds ahead of
+    the tick time.  The reference's MRT consumes policies that are one
+    solve-latency plus up to one MPC period old (the MPC thread anchors at
+    an observation taken 10-20 ms before the tick that consumes it,
+    LeggedController.cpp:396-421 + :151-156), so its 500 Hz loop always
+    executes the plan's [latency, latency+period] window — where the
+    plan's catch-up velocities have ramped up.  A synchronous in-process
+    loop that solves with zero latency executes only the plan's first
+    [0, period] window, which the SQP anchors to the measured state; the
+    commanded references then never lead the plant and the PD layer
+    delivers none of the plan's swing catch-up (measured as the backward
+    toe-apex deficit, docs/DESIGN.md round-4).  ``policy_lead`` restores
+    the reference's own effective policy age.  Mode flags stay at ``t``
+    (the reference also gates contacts at the current time, :296-303)."""
     dtype = x_est.dtype
-    x_opt, u_opt = evaluate_policy(policy, t)
+    x_opt, u_opt = evaluate_policy(policy, t + policy_lead)
     mode = mode_at_time(schedule, t)
     contact_flags = jnp.asarray(MODE_CONTACTS, dtype)[mode]
 

@@ -42,6 +42,12 @@ class LoopConfig(NamedTuple):
     control_dt: float = 0.002     # 500 Hz
     ticks_per_mpc: int = 5        # -> 100 Hz MPC
     use_wbc: bool = True          # dummy loop can bypass WBC (pure MRT test)
+    # MRT policy-age parity for synchronous zero-latency loops (see
+    # runtime/controller.py control_tick docstring).  The dummy loop
+    # integrates the solver's own dynamics, so 0.0 keeps it an exact
+    # MRT-dummy-loop test; physics loops (sim_loop, mj_loop) pass the
+    # deployment value.
+    policy_lead: float = 0.0
 
 
 class LoopState(NamedTuple):
@@ -133,7 +139,7 @@ def run_dummy_loop(model: RobotModel, settings: sqp_mod.SqpSettings,
             out, wbc_state = control_tick(
                 model, wbc_params, gains, wbc_state, sol, gait.schedule, tt,
                 x_now, rbd, default_joints, jnp.asarray(True), estop,
-                cfg.control_dt,
+                cfg.control_dt, policy_lead=cfg.policy_lead,
             ) if cfg.use_wbc else (None, wbc_state)
 
             # plant evolves under the policy input (MRT dummy rollout)

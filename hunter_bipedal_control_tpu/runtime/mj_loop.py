@@ -42,7 +42,8 @@ class MjClosedLoop:
     def __init__(self, control_dt: float = 0.002, ticks_per_mpc: int = 5,
                  q0=None, seed_estimator: bool = True, noise=None,
                  lin_backend: str = "dense", wbc_params=None,
-                 cheater: bool = False, kf_contact: str = "rocker"):
+                 cheater: bool = False, kf_contact: str = "rocker",
+                 policy_lead: float = 0.028, swing_cfg=None, gains=None):
         # lin_backend default 'dense': this loop runs the controller on the
         # host CPU next to MuJoCo, where the SoA kernels' ~600k-line HLO
         # compiles for minutes; 'dense' is oracle-identical (tests/test_soa)
@@ -92,12 +93,21 @@ class MjClosedLoop:
             [jnp.array([0., 0., 0.63], F32), jnp.zeros(3, F32), self.dj])
         self.params = ocp.make_input_cost(
             self.model, ocp.default_ocp_params(self.model), qnom)
-        pcfg = swp.default_swing_config()
+        pcfg = swp.default_swing_config() if swing_cfg is None else swing_cfg
         wbc_params = default_wbc_params() if wbc_params is None else wbc_params
         # live-reconfigurable (dynamic_reconfigure analog): a GainConfig is a
         # pytree of traced scalars passed into every tick — swap via
-        # `loop.gains = reconfigure_gains(loop.gains, ...)` mid-run, no retrace
-        self.gains = default_gains()
+        # `loop.gains = reconfigure_gains(loop.gains, ...)` mid-run, no
+        # retrace.  Per-backend default: kd_feet 4.0 (vs the Tutorials.cfg
+        # 0.01) — the reference itself tunes gains per backend
+        # (README stand-up notes; SURVEY.md §7.4 "physics parity"), and on
+        # this MuJoCo plant the near-undamped ankle is what lets the swing
+        # foot pitch toe-down and scuff; measured ±0.35 m/s tracking with
+        # this value vs a 20% backward deficit without (docs/DESIGN.md
+        # round-4 execution-layer fix).
+        from .controller import reconfigure_gains
+        self.gains = (reconfigure_gains(default_gains(), kd_feet=4.0)
+                      if gains is None else gains)
         self.cmd_cfg = tg.default_cmd_vel_config()
         kf_params = default_kalman_params()
         obs_params = default_contact_params()
@@ -125,6 +135,14 @@ class MjClosedLoop:
         # strict-parity mode.
         assert kf_contact in ("cmd", "est", "rocker")
         self.kf_contact = kf_contact
+        # MRT policy-age parity: this synchronous loop solves with zero
+        # latency, so without a lead it executes only the plan's first
+        # [0, period] window (see control_tick docstring).  0.028 s ≈ the
+        # reference's solve latency + staleness + PD settling — measured
+        # on this plant as the value that closes the swing-execution lag
+        # (docs/DESIGN.md round-4 sweep: backward −0.35 tracks at −0.344
+        # with it, −0.270 without).
+        self.policy_lead = float(policy_lead)
 
         self._default_q0 = DEFAULT_Q0
 
@@ -209,9 +227,12 @@ class MjClosedLoop:
                 None, est_contact, cmd_contact, frac, ss[:, 1] - t)
             out, wbc_state = control_tick(
                 m, wbc_params, gains, wbc_state, sol, sched, t, x_now, rbd,
-                self.dj, set_walk, estop, control_dt)
+                self.dj, set_walk, estop, control_dt,
+                policy_lead=self.policy_lead)
             return (out.command, kf, obs, wbc_state, out.emergency_stop,
-                    x_now, rbd, est_contact, early, late)
+                    x_now, rbd, est_contact, early, late,
+                    out.optimized_state, out.optimized_input,
+                    out.wbc_solution)
 
         def _tick(kf, obs, wbc_state, estop, last_tau, sol, sched, ws, we,
                   t, quat, omega_local, accel_local, qj, vj, set_walk, gains,
@@ -269,7 +290,8 @@ class MjClosedLoop:
         telem = {k: [] for k in (
             "t", "base_z", "q", "v", "x_est", "contact_fz", "est_contact",
             "early", "late", "cmd", "cost", "violation", "gait_level",
-            "cmd_vx", "tau", "plan_vx")} if record else None
+            "cmd_vx", "tau", "plan_vx", "x_opt", "u_opt", "wbc_x")} \
+            if record else None
         last_tau = jnp.zeros(10, F32)
 
         for seg in segments:
@@ -305,7 +327,8 @@ class MjClosedLoop:
                     if self.cheater:
                         q_true, v_true = self.plant.state()
                         (cmd, self.kf, self.obs, self.wbc_state, self.estop,
-                         self.x_est, rbd, est_c, early, late) = \
+                         self.x_est, rbd, est_c, early, late, x_opt, u_opt,
+                         wbc_x) = \
                             self._tick_cheater_jit(
                                 self.kf, self.obs, self.wbc_state, self.estop,
                                 last_tau, sol, sched, ws, we,
@@ -315,7 +338,8 @@ class MjClosedLoop:
                     else:
                         quat, om, acc, qj, vj = self._sense()
                         (cmd, self.kf, self.obs, self.wbc_state, self.estop,
-                         self.x_est, rbd, est_c, early, late) = self._tick_jit(
+                         self.x_est, rbd, est_c, early, late, x_opt, u_opt,
+                         wbc_x) = self._tick_jit(
                             self.kf, self.obs, self.wbc_state, self.estop,
                             last_tau, sol, sched, ws, we, jnp.asarray(tt, F32),
                             quat, om, acc, qj, vj, set_walk, self.gains,
@@ -349,6 +373,12 @@ class MjClosedLoop:
                         # solver's own planned forward speed at mid-horizon
                         telem["plan_vx"].append(
                             float(sol.states[sol.states.shape[0] // 2, 0]))
+                        # per-tick policy + WBC solution (desired-vs-optimized
+                        # trajectory overlays and force arrows in
+                        # tools/visualize.py; execution-layer diagnostics)
+                        telem["x_opt"].append(np.asarray(x_opt))
+                        telem["u_opt"].append(np.asarray(u_opt))
+                        telem["wbc_x"].append(np.asarray(wbc_x))
                 if callback is not None:
                     callback(self)
         if record:

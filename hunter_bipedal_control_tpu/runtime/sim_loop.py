@@ -203,7 +203,7 @@ def run_sim_loop(model: RobotModel, settings: sqp_mod.SqpSettings,
             out, wbc_state = control_tick(
                 model, wbc_params, gains, wbc_state, sol, gait.schedule, tt,
                 x_now, rbd, default_joints, jnp.asarray(True), estop,
-                cfg.control_dt,
+                cfg.control_dt, policy_lead=cfg.policy_lead,
             )
             plant = sim_step(model, sim_params, plant, out.command)
             tau_applied = (

@@ -47,19 +47,25 @@ class SqpSettings(NamedTuple):
     g_min: float = 1e-6
     alphas: tuple = (1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125)
     armijo_factor: float = 1e-4
-    # 'model' (default): pre-select alpha on the free Gauss-Newton quadratic
+    # 'model1' (default): pre-select alpha on the free Gauss-Newton quadratic
     # model (predicted cost) + linear contraction (predicted violation), then
-    # exact-evaluate only the chosen alpha and a quarter-step fallback — 2
-    # merit rollouts instead of 6 (the exhaustive line search measured ~44%
-    # of the batched solve; see docs/DESIGN.md).  'exhaustive': evaluate the
-    # exact merit at every alpha (strict OCS2 FilterLinesearch parity; tests
-    # assert both modes accept the same steps on the MPC path).  When the
-    # model rejects every alpha, the exact evaluation probes the model-best
-    # alpha (+ quarter step) rather than alpha_min; a mid-range step the
+    # exact-evaluate ONLY the chosen alpha — 1 merit rollout instead of 6
+    # (exhaustive) or 2 ('model').  The exact filter still guards the single
+    # candidate: a rejected or non-finite step degenerates to alpha=0 (keep
+    # the warm start = previous solution — the MPC-level analog of
+    # WeightedWbc's last-solution fallback), and the next 10 ms re-solve
+    # retries from fresh data.  Measured: the merit chain was 34 ms of the
+    # 73.4 ms batched step at 2 rollouts (docs/DESIGN.md round-3 profile);
+    # the quarter-step probe fired ~never on the walking/stance MPC paths.
+    # 'model': same pre-selection + a 0.25*alpha fallback probe (2 rollouts).
+    # 'exhaustive': exact merit at every alpha (strict OCS2 FilterLinesearch
+    # parity; tests assert the modes accept the same steps on the MPC path).
+    # When the model rejects every alpha, the exact evaluation probes the
+    # model-best alpha rather than alpha_min; a mid-range step the
     # exhaustive filter would accept can still be missed in pathological
     # cases — tests/test_linesearch_parity.py bounds the divergence on
     # randomized scenarios.
-    linesearch: str = "model"
+    linesearch: str = "model1"
     # Linearization/merit kernel implementation.  'soa': the scalarized
     # SoA core (models/soa.py) — fastest on TPU (full-width elementwise
     # fusion) but emits ~600k lines of HLO, which the CPU backend compiles
@@ -297,7 +303,7 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
             c, g = eval_merit(xs_a, us_a)
             return c, g
 
-        if settings.linesearch == "model":
+        if settings.linesearch in ("model", "model1"):
             # Quadratic (Gauss-Newton) model of the cost along the step and
             # linear contraction of the violation — both free byproducts of
             # the LQ data — pre-select alpha; then exact-evaluate only the
@@ -324,7 +330,10 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
             score_m = jnp.where(jnp.isfinite(score_m), score_m, jnp.inf)
             alpha_hat = jnp.where(jnp.any(accept_m), alphas_all[idx_m],
                                   alphas_all[jnp.argmin(score_m)])
-            alphas = jnp.stack([alpha_hat, 0.25 * alpha_hat])
+            if settings.linesearch == "model1":
+                alphas = alpha_hat[None]
+            else:
+                alphas = jnp.stack([alpha_hat, 0.25 * alpha_hat])
         else:
             alphas = jnp.asarray(settings.alphas, xs.dtype)
 
@@ -333,10 +342,16 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
         accept = filter_accept(cost_a, g_a, alphas)
         # pick the largest accepted alpha; fall back to the smallest *finite*
         # alpha, and to a zero step if every candidate diverged (keeps the
-        # previous solution — WeightedWbc-style last-solution fallback)
+        # previous solution — WeightedWbc-style last-solution fallback).
+        # 'model1' has no fallback candidate: a rejected step IS the zero
+        # step (the exact filter guards the single rollout).
         idx = jnp.argmax(accept)  # first True in order (alphas descending)
         any_ok = jnp.any(accept)
-        smallest_finite = jnp.where(jnp.any(finite), alphas[-1] * finite[-1], 0.0)
+        if settings.linesearch == "model1":
+            smallest_finite = jnp.asarray(0.0, xs.dtype)
+        else:
+            smallest_finite = jnp.where(jnp.any(finite),
+                                        alphas[-1] * finite[-1], 0.0)
         alpha = jnp.where(any_ok, alphas[idx], smallest_finite)
 
         xs_new = xs + alpha * dxs_full

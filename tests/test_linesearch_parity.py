@@ -75,12 +75,16 @@ def test_randomized_scenarios_model_vs_exhaustive(hunter_model_f32):
 
     a1_md, c1_md, g1_md, a2_md, c2_md, g2_md = map(
         np.asarray, solve_mode(settings._replace(linesearch="model")))
+    a1_m1, c1_m1, g1_m1, a2_m1, c2_m1, g2_m1 = map(
+        np.asarray, solve_mode(settings._replace(linesearch="model1")))
     a1_ex, c1_ex, g1_ex, a2_ex, c2_ex, g2_ex = map(
         np.asarray, solve_mode(settings._replace(linesearch="exhaustive")))
 
     for (a_md, c_md, g_md, a_ex, c_ex, g_ex, tag) in (
         (a1_md, c1_md, g1_md, a1_ex, c1_ex, g1_ex, "cold"),
         (a2_md, c2_md, g2_md, a2_ex, c2_ex, g2_ex, "warm"),
+        (a1_m1, c1_m1, g1_m1, a1_ex, c1_ex, g1_ex, "cold-1rollout"),
+        (a2_m1, c2_m1, g2_m1, a2_ex, c2_ex, g2_ex, "warm-1rollout"),
     ):
         same = a_md == a_ex
         diff = ~same

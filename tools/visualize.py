@@ -199,16 +199,122 @@ def plot_skeleton(data, out_path, n_frames=8):
     print(f"wrote {out_path} ({n_frames} frames)")
 
 
+def plot_execution(data, out_path):
+    """Desired-vs-optimized trajectory overlays + per-foot force arrows — the
+    LeggedRobotVisualizer `update` view (LeggedRobotVisualizer.cpp:140-178:
+    optimized + desired trajectories, foot force markers), headless.
+
+    Needs an MjClosedLoop trace recorded with the per-tick policy keys
+    (x_opt/u_opt/wbc_x, runtime/mj_loop.py telemetry).  Four panels:
+      1. base vx: command vs MPC-optimized vs measured,
+      2. L-toe x-z executed path vs the policy's desired path, force arrows,
+      3. toe z: desired vs measured with contact shading,
+      4. contact force Fz: MPC-planned vs WBC-allocated vs plant.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from hunter_bipedal_control_tpu.models.kinematics import (
+        contact_positions, fk)
+    from hunter_bipedal_control_tpu.models.robot import load_model
+
+    for key in ("x_opt", "u_opt", "q", "t"):
+        if key not in data:
+            raise SystemExit(f"trace has no '{key}' key; record with "
+                             "MjClosedLoop.run(record=True) on current code")
+    t = np.asarray(data["t"])
+    q = np.asarray(data["q"])
+    x_opt = np.asarray(data["x_opt"])
+    u_opt = np.asarray(data["u_opt"])
+    m = load_model(dtype=jnp.float32)
+
+    fk_feet = jax.jit(jax.vmap(lambda qq: contact_positions(m, fk(m, qq))))
+    feet_meas = np.asarray(fk_feet(jnp.asarray(q[:, 0:16]).astype(jnp.float32)
+                                   if q.shape[1] == 16 else
+                                   jnp.asarray(
+                                       np.concatenate([q[:, 0:6], q[:, 6:16]],
+                                                      axis=1), jnp.float32)))
+    q_des = np.concatenate([x_opt[:, 6:12], x_opt[:, 12:22]], axis=1)
+    feet_des = np.asarray(fk_feet(jnp.asarray(q_des, jnp.float32)))
+
+    fz_plant = np.asarray(data["contact_fz"]) if "contact_fz" in data else None
+    f_mpc = u_opt[:, 0:12].reshape(-1, 4, 3)
+    f_wbc = (np.asarray(data["wbc_x"])[:, 16:28].reshape(-1, 4, 3)
+             if "wbc_x" in data else None)
+
+    fig, axes = plt.subplots(4, 1, figsize=(10, 11))
+    fig.patch.set_facecolor(SURFACE)
+
+    ax = axes[0]
+    if "cmd_vx" in data:
+        ax.plot(t, np.asarray(data["cmd_vx"]), color=TEXT2, lw=1,
+                ls="--", label="command")
+    ax.plot(t, x_opt[:, 0], color=SERIES[1], lw=1.2, label="MPC optimized")
+    ax.plot(t, np.asarray(data["v"])[:, 0], color=SERIES[0], lw=1.2,
+            label="measured")
+    ax.legend(fontsize=8, frameon=False, ncol=3)
+    _style(ax, "base forward velocity: desired vs optimized vs executed",
+           "vx [m/s]")
+
+    ax = axes[1]
+    sl = t > (t[0] + max(t[-1] - t[0] - 2.0, 0.0))   # last ~2 s
+    ax.plot(feet_meas[sl, 0, 0], feet_meas[sl, 0, 2], color=SERIES[0],
+            lw=1.2, label="L toe executed")
+    ax.plot(feet_des[sl, 0, 0], feet_des[sl, 0, 2], color=SERIES[1],
+            lw=1.0, ls="--", label="L toe desired (policy)")
+    if fz_plant is not None and fz_plant.ndim == 2 and fz_plant.shape[1] >= 4:
+        fz_l = fz_plant[:, 0] if fz_plant.shape[1] == 4 else \
+            fz_plant.reshape(len(t), 4, 3)[:, 0, 2]
+        step = max(len(t[sl]) // 40, 1)
+        idx = np.where(sl)[0][::step]
+        ax.quiver(feet_meas[idx, 0, 0], feet_meas[idx, 0, 2],
+                  np.zeros(len(idx)), fz_l[idx] / 400.0, color=SERIES[2],
+                  width=0.002, scale=1, scale_units="y", label="contact Fz")
+    ax.axhline(0.0, color=TEXT2, lw=0.8)
+    ax.legend(fontsize=8, frameon=False, ncol=3)
+    _style(ax, "L-toe sagittal path: executed vs desired, force arrows",
+           "z [m]", "x [m]")
+
+    ax = axes[2]
+    ax.plot(t, feet_des[:, 0, 2], color=SERIES[1], lw=1.0, ls="--",
+            label="desired")
+    ax.plot(t, feet_meas[:, 0, 2], color=SERIES[0], lw=1.2, label="measured")
+    ax.legend(fontsize=8, frameon=False, ncol=2)
+    _style(ax, "L-toe height: desired vs executed", "z [m]")
+
+    ax = axes[3]
+    if fz_plant is not None:
+        fz4 = fz_plant if fz_plant.ndim == 2 and fz_plant.shape[1] == 4 \
+            else fz_plant.reshape(len(t), 4, 3)[:, :, 2]
+        ax.plot(t, fz4.sum(1), color=SERIES[0], lw=1.0, label="plant")
+    ax.plot(t, f_mpc[:, :, 2].sum(1), color=SERIES[1], lw=1.0,
+            label="MPC planned")
+    if f_wbc is not None:
+        ax.plot(t, f_wbc[:, :, 2].sum(1), color=SERIES[2], lw=1.0,
+                label="WBC allocated")
+    ax.legend(fontsize=8, frameon=False, ncol=3)
+    _style(ax, "total vertical contact force: plan vs allocation vs plant",
+           "Fz [N]", "t [s]")
+
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=140, facecolor=SURFACE)
+    print(f"wrote {out_path}")
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("trace", help="npz trace from TraceRecorder.save_npz")
     ap.add_argument("-o", "--out", default=None, help="summary figure path")
     ap.add_argument("--skeleton", default=None, help="stick-figure strip path")
+    ap.add_argument("--execution", default=None,
+                    help="desired-vs-optimized overlay + force-arrow figure")
     ap.add_argument("--frames", type=int, default=8)
     args = ap.parse_args()
 
     data = dict(np.load(args.trace))
-    if args.out is None and args.skeleton is None:
+    if args.out is None and args.skeleton is None and args.execution is None:
         args.out = os.path.splitext(args.trace)[0] + ".png"
     if args.out:
         plot_trace(data, args.out)
@@ -216,6 +322,8 @@ def main():
         if "q" not in data:
             raise SystemExit("trace has no 'q' key; cannot draw skeletons")
         plot_skeleton(data, args.skeleton, args.frames)
+    if args.execution:
+        plot_execution(data, args.execution)
 
 
 if __name__ == "__main__":
