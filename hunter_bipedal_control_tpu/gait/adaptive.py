@@ -135,7 +135,42 @@ def walk_gait_switch(state: GaitRunState, vel_avg, init_time, final_time) -> Gai
     return state._replace(schedule=new_sched, gait_level=new_level.astype(jnp.int32))
 
 
-def extend_schedule(state: GaitRunState, init_time, final_time) -> GaitRunState:
+def fixed_gait_switch(state: GaitRunState, vel_avg, init_time, final_time,
+                      template, level_id: int) -> GaitRunState:
+    """Stance <-> explicitly-selected-gait switching (the /gait_type toggle
+    analog): same 0.02/0.03 hysteresis and next-event insertion as
+    walkGait (:185-217), but the walking template is the caller's fixed
+    choice (e.g. FLYING_TROT_GAIT) instead of the velocity-adaptive pair."""
+    sched = state.schedule
+    level = state.gait_level
+
+    idx = jnp.searchsorted(sched.event_times, init_time, side="left")
+    insert_t = jnp.where(
+        idx < MAX_PHASES, sched.event_times[jnp.clip(idx, 0, MAX_PHASES - 1)], init_time
+    )
+    insert_t = jnp.minimum(insert_t, init_time + 1.0)
+
+    to_stance = (vel_avg <= 0.02) & (level != 0)
+    to_walk = (vel_avg > 0.03) & (level != level_id)
+
+    from .mode_schedule import scale_template
+
+    s = state.gait_scale
+    sched_stance = insert_template(sched, scale_template(STANCE_GAIT(), s),
+                                   insert_t, final_time)
+    sched_walk = insert_template(sched, scale_template(template, s),
+                                 insert_t, final_time)
+    new_sched = jax.tree.map(
+        lambda a, b, c: jnp.where(to_stance, a, jnp.where(to_walk, b, c)),
+        sched_stance, sched_walk, sched,
+    )
+    new_level = jnp.where(to_stance, 0, jnp.where(to_walk, level_id, level))
+    return state._replace(schedule=new_sched,
+                          gait_level=new_level.astype(jnp.int32))
+
+
+def extend_schedule(state: GaitRunState, init_time, final_time,
+                    template=None) -> GaitRunState:
     """Re-tile when the horizon outruns the stored window (the implicit
     re-tiling GaitSchedule::getModeSchedule performs at every query).
 
@@ -181,6 +216,19 @@ def extend_schedule(state: GaitRunState, init_time, final_time) -> GaitRunState:
     # both continue trot).  FLYING_TROT_GAIT stays reachable as an
     # explicitly selected fixed gait (teleop gait toggle / tests).
     # Decision + adaptive crossing test: docs/DESIGN.md, tests/test_gait_coverage.py.
+    # ``template`` (static, e.g. FLYING_TROT_GAIT()): explicitly selected
+    # fixed gait — the /gait_type toggle analog (TargetTrajectoriesPublisher
+    # gait-type publisher, .h:136-150).  The extension then continues THAT
+    # pattern instead of the adaptive stance/trot pair.
+    if template is not None:
+        tmpl = continuation(scale_template(template, s))
+        tmpl_st = continuation(scale_template(STANCE_GAIT(), s))
+        ext_walk = insert_template(sched, tmpl, last_event, final_time + 2.4, 0.0)
+        ext_st = insert_template(sched, tmpl_st, last_event, final_time + 2.4, 0.0)
+        ext = jax.tree.map(lambda a, b: jnp.where(level == 0, a, b),
+                           ext_st, ext_walk)
+        new_sched = jax.tree.map(lambda a, b: jnp.where(need, a, b), ext, sched)
+        return state._replace(schedule=new_sched)
     tmpl_trot = continuation(scale_template(TROT_GAIT(), s))
     tmpl_stance = continuation(scale_template(STANCE_GAIT(), s))
     ext_stance = insert_template(sched, tmpl_stance, last_event, final_time + 2.4, 0.0)

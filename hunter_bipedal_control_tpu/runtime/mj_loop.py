@@ -43,7 +43,8 @@ class MjClosedLoop:
                  q0=None, seed_estimator: bool = True, noise=None,
                  lin_backend: str = "dense", wbc_params=None,
                  cheater: bool = False, kf_contact: str = "rocker",
-                 policy_lead: float = 0.028, swing_cfg=None, gains=None):
+                 policy_lead: float = 0.028, swing_cfg=None, gains=None,
+                 fixed_gait: str | None = None):
         # lin_backend default 'dense': this loop runs the controller on the
         # host CPU next to MuJoCo, where the SoA kernels' ~600k-line HLO
         # compiles for minutes; 'dense' is oracle-identical (tests/test_soa)
@@ -199,12 +200,32 @@ class MjClosedLoop:
             rbd = jnp.concatenate([zyx, pos, qj, omega_world, vel, vj])
             return kf, rbd, rbd_state_to_centroidal(m, rbd), cmd_contact
 
+        # explicitly selected fixed gait (the /gait_type toggle analog):
+        # 'flying_trot' | 'standing_trot' | 'trot' skip the adaptive
+        # velocity switch and keep the chosen template live
+        from ..gait.mode_schedule import (
+            FLYING_TROT_GAIT, STANDING_TROT_GAIT, TROT_GAIT)
+
+        assert fixed_gait in (None, "trot", "standing_trot", "flying_trot")
+        fixed_tmpl = {None: None, "trot": TROT_GAIT(),
+                      "standing_trot": STANDING_TROT_GAIT(),
+                      "flying_trot": FLYING_TROT_GAIT()}[fixed_gait]
+        self.fixed_gait = fixed_gait
+
         def _period(mpc_state, gait, last_cmd_vel, t, x_est, cmd_vel_raw):
             cmd_vel = tg.filter_cmd_vel(cmd_vel_raw, last_cmd_vel, self.cmd_cfg)
             target = tg.cmd_vel_to_target(cmd_vel, x_est, t, horizon, self.cmd_cfg)
             gait, vel_avg = adaptive.vel_abs_update(gait, cmd_vel, target.states[0])
-            gait = adaptive.walk_gait_switch(gait, vel_avg, t, t + 10.0)
-            gait = adaptive.extend_schedule(gait, t, t + 2 * horizon)
+            if fixed_tmpl is None:
+                gait = adaptive.walk_gait_switch(gait, vel_avg, t, t + 10.0)
+                gait = adaptive.extend_schedule(gait, t, t + 2 * horizon)
+            else:
+                gait = adaptive.fixed_gait_switch(
+                    gait, vel_avg, t, t + 10.0, fixed_tmpl,
+                    {"trot": 1, "standing_trot": 2,
+                     "flying_trot": 3}[fixed_gait])
+                gait = adaptive.extend_schedule(gait, t, t + 2 * horizon,
+                                                template=fixed_tmpl)
             body_cmd6 = jnp.concatenate(
                 [cmd_vel[0:3], jnp.zeros(2, F32), cmd_vel[3:4]])
             sol, mpc_state, _ = mpc_mod.mpc_step(

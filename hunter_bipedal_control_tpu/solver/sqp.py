@@ -47,25 +47,31 @@ class SqpSettings(NamedTuple):
     g_min: float = 1e-6
     alphas: tuple = (1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125)
     armijo_factor: float = 1e-4
-    # 'model1' (default): pre-select alpha on the free Gauss-Newton quadratic
+    # 'model' (default): pre-select alpha on the free Gauss-Newton quadratic
     # model (predicted cost) + linear contraction (predicted violation), then
-    # exact-evaluate ONLY the chosen alpha — 1 merit rollout instead of 6
-    # (exhaustive) or 2 ('model').  The exact filter still guards the single
-    # candidate: a rejected or non-finite step degenerates to alpha=0 (keep
-    # the warm start = previous solution — the MPC-level analog of
-    # WeightedWbc's last-solution fallback), and the next 10 ms re-solve
-    # retries from fresh data.  Measured: the merit chain was 34 ms of the
-    # 73.4 ms batched step at 2 rollouts (docs/DESIGN.md round-3 profile);
-    # the quarter-step probe fired ~never on the walking/stance MPC paths.
-    # 'model': same pre-selection + a 0.25*alpha fallback probe (2 rollouts).
-    # 'exhaustive': exact merit at every alpha (strict OCS2 FilterLinesearch
-    # parity; tests assert the modes accept the same steps on the MPC path).
+    # exact-evaluate only the chosen alpha and a quarter-step fallback —
+    # 2 merit rollouts instead of 6.  'model1': drop the fallback probe too
+    # (1 rollout; the exact filter guards the single candidate — a rejected
+    # step degenerates to alpha=0, keeping the warm start, and the next
+    # 10 ms re-solve retries).  'exhaustive': exact merit at every alpha
+    # (strict OCS2 FilterLinesearch parity; tests assert the modes accept
+    # the same steps on the MPC path).
+    # ROUND-4 MEASUREMENT NOTE (the 1-rollout variant was VERDICT r3 #5):
+    # with the SoA fused merit the rollouts are nearly free IN CONTEXT —
+    # chained B=128 TPU A/B (tools/phase_bench.py sqp_solve_* phases):
+    # model1 65.16 ms, model 65.73, exhaustive 66.67; a standalone SoA
+    # merit rollout is 6.3 ms but overlaps almost entirely inside the
+    # solve.  The round-3 "merit = 34 ms of 73.4" attribution measured the
+    # standalone DENSE merit kernel, not the in-solve SoA cost.  'model'
+    # therefore stays the default (the fallback probe is robustness at
+    # ~0.6 ms); the residual headroom is the projection/Riccati/forward
+    # chain (~32 ms of the 65 ms solve), not the line search.
     # When the model rejects every alpha, the exact evaluation probes the
     # model-best alpha rather than alpha_min; a mid-range step the
     # exhaustive filter would accept can still be missed in pathological
     # cases — tests/test_linesearch_parity.py bounds the divergence on
-    # randomized scenarios.
-    linesearch: str = "model1"
+    # randomized scenarios (including the 1-rollout mode).
+    linesearch: str = "model"
     # Linearization/merit kernel implementation.  'soa': the scalarized
     # SoA core (models/soa.py) — fastest on TPU (full-width elementwise
     # fusion) but emits ~600k lines of HLO, which the CPU backend compiles

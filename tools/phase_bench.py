@@ -121,14 +121,24 @@ xs_ws, us_ws = jax.jit(jax.vmap(
 jax.block_until_ready((xs_ws, us_ws))
 
 
-def solve_step(xs):
-    def one(b, x, xw, uw):
-        return sqp.solve(m, settings, params, b, x, xw, uw).cost
-    costs = jax.vmap(one)(bundles, xs, xs_ws, us_ws)
-    return xs + 1e-12 * costs[:, None], costs.sum()
+def solve_step_with(s):
+    def solve_step(xs):
+        def one(b, x, xw, uw):
+            return sqp.solve(m, s, params, b, x, xw, uw).cost
+        costs = jax.vmap(one)(bundles, xs, xs_ws, us_ws)
+        return xs + 1e-12 * costs[:, None], costs.sum()
+    return solve_step
 
 
-timeit_chain("sqp_solve", solve_step, xs_b)
+timeit_chain("sqp_solve", solve_step_with(settings), xs_b)
+# line-search ablation: 2-rollout 'model' and 6-rollout 'exhaustive'
+# variants of the same solve (the production default is settings.linesearch)
+timeit_chain("sqp_solve_model2",
+             solve_step_with(settings._replace(linesearch="model")), xs_b)
+timeit_chain("sqp_solve_exh6",
+             solve_step_with(settings._replace(linesearch="exhaustive")), xs_b)
+timeit_chain("sqp_solve_rpar",
+             solve_step_with(settings._replace(riccati_parallel=True)), xs_b)
 
 
 def lin_step(carry):
@@ -172,6 +182,24 @@ def merit_step(carry):
 
 
 timeit_chain("merit_x2", merit_step, (xs_ws, us_ws))
+
+
+def merit_soa_step(carry):
+    """ONE SoA-backend merit rollout — what the production solve
+    (lin_backend='soa') actually evaluates per line-search candidate."""
+    xw, uw = carry
+
+    def one(b, xs_, us_):
+        costs, xnext, eq = ocp.stage_merit_batch(
+            m, params, xs_[:N], us_, b.x_nom[:N], b.contact_flags[:N],
+            b.foot_pos_ref[:N], b.foot_vel_ref[:N], dt)
+        return dt * costs.sum() + jnp.abs(xs_[1:] - xnext).sum() + jnp.abs(eq).sum()
+
+    s = jax.vmap(one)(bundles, xw, uw).sum()
+    return (xw + 1e-15 * s, uw + 1e-15 * s), s
+
+
+timeit_chain("merit_soa_x1", merit_soa_step, (xs_ws, us_ws))
 
 
 # ---- planner + IK sub-split of prepare_references ----
