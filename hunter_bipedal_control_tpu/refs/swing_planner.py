@@ -43,6 +43,14 @@ class SwingConfig(NamedTuple):
     swing_time_scale: jnp.ndarray
     feet_bias: jnp.ndarray       # (4, 3) shoulder bias per foot
     next_position_z: jnp.ndarray
+    # Extra lead (s) on the target-pose sample that rotates the foothold
+    # bias in calNextFootPos.  0.0 = exact reference parity
+    # (SwingTrajectoryPlanner.cpp:289-312 anchors at next_middle_time,
+    # ~half a step ahead), which geometrically supports only ~half the
+    # commanded turn rate when re-anchored at measured yaw every solve —
+    # the measured 53% yaw floor (docs/DESIGN.md round-4 yaw bisection).
+    # Set to ~half a gait period (0.3) to anchor one full step ahead.
+    foothold_yaw_lead: jnp.ndarray = 0.0
 
 
 def default_swing_config(dtype=jnp.float32) -> SwingConfig:
@@ -54,6 +62,7 @@ def default_swing_config(dtype=jnp.float32) -> SwingConfig:
         swing_time_scale=jnp.asarray(0.15, dtype),
         feet_bias=jnp.asarray([[x1, y, z], [x1, -y, z], [x2, y, z], [x2, -y, z]], dtype),
         next_position_z=jnp.asarray(0.02, dtype),
+        foothold_yaw_lead=jnp.asarray(0.0, dtype),
     )
 
 
@@ -230,7 +239,10 @@ def update_planner(
 
         def cand_at(p):
             next_mid_t = next_middle_times[leg, p]
-            next_mid_pose = interp_state(target, next_mid_t)[6:12]
+            # only the ZYX part of this pose is consumed (roted_bias);
+            # foothold_yaw_lead=0 is the reference anchor (see SwingConfig)
+            next_mid_pose = interp_state(
+                target, next_mid_t + cfg.foothold_yaw_lead)[6:12]
             return _raibert_foothold(
                 cfg, leg, init_time, e[p], next_mid_t, next_mid_pose,
                 current_body_pose, current_body_vel, body_vel_cmd,

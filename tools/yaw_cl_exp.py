@@ -25,8 +25,12 @@ import numpy as np
 from hunter_bipedal_control_tpu.runtime.mj_loop import MjClosedLoop, Segment
 
 
-def main(rate=0.5, dur=4.0):
-    loop = MjClosedLoop()
+def main(rate=0.5, dur=4.0, yaw_lead=0.0):
+    from hunter_bipedal_control_tpu.refs.swing_planner import default_swing_config
+    import jax.numpy as jnp
+    cfg = default_swing_config()._replace(
+        foothold_yaw_lead=jnp.asarray(yaw_lead, jnp.float32))
+    loop = MjClosedLoop(swing_cfg=cfg)
     plan_slopes = []
 
     def cb(lp):
@@ -48,6 +52,7 @@ def main(rate=0.5, dur=4.0):
     rate_true = np.polyfit(t[m], yaw_true, 1)[0]
     rate_est = np.polyfit(t[m], yaw_est, 1)[0]
     ps = np.array([s for pt, s in plan_slopes if pt > t[-1] - 0.6 * dur])
+    print(f"yaw_lead {yaw_lead:.2f} ", end="")
     print(f"cmd {rate:+.2f}: measured yaw rate {rate_true:+.3f} "
           f"(est {rate_est:+.3f}); closed-loop plan slope "
           f"mean {ps.mean():+.3f} p10 {np.percentile(ps, 10):+.3f} "
