@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 
-def ns_inverse(A, iters: int = 16, spd: bool = True):
+def ns_inverse(A, iters: int = 16, spd: bool = True, precision=None):
     """Approximate inverse of a (batched) square matrix via Newton-Schulz.
 
     For SPD inputs a symmetric Jacobi equilibration D^-1/2 A D^-1/2 is
@@ -29,6 +29,11 @@ def ns_inverse(A, iters: int = 16, spd: bool = True):
     scaled iterate then converges in ~16 iterations.  Init
     X0 = A~^T/(||A~||_1 ||A~||_inf) guarantees contraction; each iteration
     squares the residual.
+
+    ``precision`` overrides the matmul precision of the ITERATION only
+    (e.g. 'high' = 3-pass bf16): the iteration is self-correcting, so
+    callers that follow with f32-'highest' iterative refinement
+    (spd_solve) can run it cheaper without losing solve accuracy.
     """
     n = A.shape[-1]
     if spd:
@@ -43,22 +48,52 @@ def ns_inverse(A, iters: int = 16, spd: bool = True):
     X = jnp.swapaxes(As, -1, -2) / (a1 * ainf + 1e-30)
     eye2 = 2.0 * jnp.eye(n, dtype=A.dtype)
     for _ in range(iters):
-        X = X @ (eye2 - As @ X)
+        X = jnp.matmul(X, eye2 - jnp.matmul(As, X, precision=precision),
+                       precision=precision)
     if spd:
         X = X * s[..., :, None] * s[..., None, :]
     return X
 
 
-def spd_solve(A, b, iters: int = 20, refine: int = 2):
+def spd_solve(A, b, iters: int = 20, refine: int = 2, precision=None):
     """Solve A x = b for SPD (batched) A via NS inverse + iterative
-    refinement.  b may be a vector (..., n) or matrix (..., n, k)."""
-    X = ns_inverse(A, iters)
+    refinement.  b may be a vector (..., n) or matrix (..., n, k).
+
+    ``precision`` applies to the NS iteration only; the refinement
+    residuals stay at the ambient ('highest') matmul precision — they are
+    the accuracy anchor that recovers f32 solves from a cheap inverse."""
+    X = ns_inverse(A, iters, precision=precision)
     vec = b.ndim == A.ndim - 1
     if vec:
         b = b[..., None]
     x = X @ b
     for _ in range(refine):
         x = x + X @ (b - A @ x)
+    return x[..., 0] if vec else x
+
+
+def gj_solve(A, b):
+    """Solve A x = b for (batched) SPD A by unrolled NO-PIVOT Gauss-Jordan
+    on the augmented tableau [A | b] — n rank-1 updates of pure vectorized
+    arithmetic, zero matmuls, zero factorizations.
+
+    For SPD matrices elimination without pivoting is backward-stable (the
+    Schur-complement diagonals stay positive), so no argmax/one-hot
+    bookkeeping is needed — inside a lax.scan body (the Riccati backward
+    recursion) this trades the Newton-Schulz matmul chain (~40 small
+    padded matmuls) for n cheap VPU steps.  b: (..., n) or (..., n, k)."""
+    n = A.shape[-1]
+    vec = b.ndim == A.ndim - 1
+    if vec:
+        b = b[..., None]
+    M = jnp.concatenate([A, b], axis=-1)  # (..., n, n+k)
+    for k in range(n):
+        piv_row = M[..., k, :] / M[..., k, k:k + 1]
+        col = M[..., :, k]
+        col = col.at[..., k].set(0.0)
+        M = M - col[..., :, None] * piv_row[..., None, :]
+        M = M.at[..., k, :].set(piv_row)
+    x = M[..., :, n:]
     return x[..., 0] if vec else x
 
 

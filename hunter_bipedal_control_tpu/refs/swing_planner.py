@@ -50,6 +50,13 @@ class SwingConfig(NamedTuple):
     # commanded turn rate when re-anchored at measured yaw every solve —
     # the measured 53% yaw floor (docs/DESIGN.md round-4 yaw bisection).
     # Set to ~half a gait period (0.3) to anchor one full step ahead.
+    # CLAMP CAVEAT (ADVICE r4): interp_state clamps at the target's final
+    # node; cmd_vel targets span [t, t+horizon] while next_middle_times
+    # reach ~1.5 horizons ahead, so for far phases (or leads near the
+    # remaining target span) the lead saturates at the terminal yaw
+    # instead of extrapolating — large-lead sweeps plateau from this
+    # clamp, not from dynamics, unless the target terminal time is
+    # extended (refs/targets.py cmd_vel horizon).
     foothold_yaw_lead: jnp.ndarray = 0.0
 
 

@@ -41,7 +41,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.linalg import spd_solve
+from ..ops.linalg import gj_solve, spd_solve
 
 
 class StageLQ(NamedTuple):
@@ -57,39 +57,63 @@ class StageLQ(NamedTuple):
     qw: jnp.ndarray    # (N, nu)
 
 
-def backward_scan(lq: StageLQ, S_term, s_term, reg: float, use_ns: bool = True):
+def backward_scan(lq: StageLQ, S_term, s_term, reg: float, use_ns: bool = True,
+                  ns_iters: int = 20, ns_refine: int = 2, precision=None,
+                  solver: str = "ns"):
     """Sequential Riccati (lax.scan), returns (Ks, kffs, Ss, ss).
 
     ``use_ns`` replaces the TPU-hostile LU solve of Huu with the
     Newton-Schulz matmul iteration (ops/linalg.py) — the Jacobi-equilibrated
     Huu of this problem sits at condition ~1e2 (measured), well inside NS
-    range, and the swap removes the dominant per-step latency."""
+    range, and the swap removes the dominant per-step latency.
+
+    Scan-body structure (round 5): all S-propagation products are fused
+    into two WIDE matmuls per step — SM = S @ [A B d|s] (nx x nx+nu+1)
+    and H = [A B]^T @ SM — instead of six nx-by-nx ones: fewer, better-
+    utilized MXU dispatches for the same flops (the 22-dim operands pad to
+    (8,128) tiles either way; the wide grouping amortizes that padding).
+    ``solver`` selects the Huu solve: 'ns' (Newton-Schulz + refinement,
+    knobs ns_iters/ns_refine/precision — see ops/linalg.spd_solve) or
+    'gj' (no-pivot Gauss-Jordan tableau: n VPU rank-1 updates, zero
+    matmuls — SPD-stable since the Schur diagonals stay positive)."""
     nx = lq.A.shape[1]
     nu = lq.B.shape[2]
 
+    # per-knot constants of the fused products, built once outside the scan
+    M_all = jnp.concatenate([lq.A, lq.B, lq.d[..., None]], axis=2)  # (N,nx,nx+nu+1)
+    ABt_all = jnp.concatenate(
+        [jnp.swapaxes(lq.A, -1, -2), jnp.swapaxes(lq.B, -1, -2)], axis=1
+    )  # (N, nx+nu, nx)
+
     def backward(carry, inp):
         S, s = carry
-        A_, B_, d_, Qxx_, Qww_, Qwx_, qx_, qw_ = inp
-        Sd = s + S @ d_
-        Huu = Qww_ + B_.T @ S @ B_
+        M_, ABt_, Qxx_, Qww_, Qwx_, qx_, qw_ = inp
+        SM = S @ M_                                    # [SA, SB, Sd]
+        SM = SM.at[:, -1].add(s)                       # last col -> Sd + s
+        H = ABt_ @ SM                                  # (nx+nu, nx+nu+1)
+        Huu = Qww_ + H[nx:, nx:nx + nu]
         shift = reg * (1.0 + jnp.trace(Huu) / nu)
         Huu = Huu + shift * jnp.eye(nu, dtype=S.dtype)
-        Hux = Qwx_ + B_.T @ S @ A_
-        hu = qw_ + B_.T @ Sd
+        Hux = Qwx_ + H[nx:, :nx]
+        hu = qw_ + H[nx:, -1]
         rhs = jnp.concatenate([Hux, hu[:, None]], axis=1)
-        if use_ns:
-            Kk = -spd_solve(Huu, rhs)
+        if solver == "gj":
+            Kk = -gj_solve(Huu, rhs)
+        elif use_ns:
+            Kk = -spd_solve(Huu, rhs, iters=ns_iters, refine=ns_refine,
+                            precision=precision)
         else:
             Kk = -jnp.linalg.solve(Huu, rhs)
         K, kff = Kk[:, :nx], Kk[:, nx]
-        S_new = Qxx_ + A_.T @ S @ A_ + Hux.T @ K
+        HK = Hux.T @ Kk                                # [Hux'K, Hux'kff]
+        S_new = Qxx_ + H[:nx, :nx] + HK[:, :nx]
         S_new = 0.5 * (S_new + S_new.T)
-        s_new = qx_ + A_.T @ Sd + Hux.T @ kff
+        s_new = qx_ + H[:nx, -1] + HK[:, nx]
         return (S_new, s_new), (K, kff, S, s)
 
     (_, _), (Ks, kffs, Ss_next, ss_next) = jax.lax.scan(
         backward, (S_term, s_term),
-        (lq.A, lq.B, lq.d, lq.Qxx, lq.Qww, lq.Qwx, lq.qx, lq.qw),
+        (M_all, ABt_all, lq.Qxx, lq.Qww, lq.Qwx, lq.qx, lq.qw),
         reverse=True,
     )
     return Ks, kffs, Ss_next, ss_next

@@ -72,6 +72,18 @@ class SqpSettings(NamedTuple):
     # cases — tests/test_linesearch_parity.py bounds the divergence on
     # randomized scenarios (including the 1-rollout mode).
     linesearch: str = "model"
+    # Riccati Huu-solve knobs (round 5; see riccati.backward_scan):
+    #   riccati_solver    'ns' = Newton-Schulz + refinement (matmul chain),
+    #                     'gj' = no-pivot Gauss-Jordan tableau (VPU rank-1
+    #                     updates, zero matmuls — SPD-stable).
+    #   riccati_ns_iters / riccati_ns_refine: NS iteration/refinement counts.
+    #   riccati_ns_precision: matmul precision of the NS ITERATION only
+    #     ('highest' = ambient 6-pass f32; 'high' = 3-pass — safe because
+    #     the refinement residuals stay at ambient precision).
+    riccati_solver: str = "ns"
+    riccati_ns_iters: int = 20
+    riccati_ns_refine: int = 2
+    riccati_ns_precision: str = "highest"
     # Linearization/merit kernel implementation.  'soa': the scalarized
     # SoA core (models/soa.py) — fastest on TPU (full-width elementwise
     # fusion) but emits ~600k lines of HLO, which the CPU backend compiles
@@ -111,6 +123,71 @@ def rk2_step(model: RobotModel, x, u, dt):
     k1 = flow_map(model, x, u)
     k2 = flow_map(model, x + dt * k1, u)
     return x + 0.5 * dt * (k1 + k2)
+
+
+# ---------------------------------------------------------------------------
+# constraint projection
+# ---------------------------------------------------------------------------
+
+
+def project_knot(settings: SqpSettings, A_, B_, d_, qx_, qu_, Qxx_, Quu_,
+                 Qux_, g_, C_, D_, mask_):
+    """Eliminate the state-input equality rows at one knot by a fixed-shape
+    projection (OCS2's projectStateInputEqualityConstraints, QR basis
+    replaced by a masked pseudo-inverse; SURVEY.md §7.4).
+
+    du = e + E dx + P w with P = I - D^+ D (symmetric null-space
+    projector), and the LQ data is rewritten in the reduced variable w.
+    Masked (inactive) rows carry a unit diagonal so the m x m Gram inverse
+    stays O(1)-conditioned in f32.
+
+    Round-5 structure: the dozen nx/nu-sized products are grouped into
+    FOUR wide matmuls —
+      X  = D^+ @ [g C D]           -> e, E, P in one product
+      YQ = Quu @ [e E P]           -> all Quu-weighted columns
+      BU = B   @ [e E P]           -> d_t, A_t, B_t updates
+      T  = [E P]' @ [Qe QuuE Qux QuuP] -> every Gram block (qx_t, qw,
+                                          Qxx_t, Qwx, Qww) at once
+    — same flops, ~3x fewer MXU dispatches on tile-padded 22-dim operands
+    (docs/DESIGN.md round-5 measurement)."""
+    from ..ops.linalg import gj_inverse
+
+    nu = B_.shape[1]
+    nx = A_.shape[0]
+    eye_u = jnp.eye(nu, dtype=A_.dtype)
+    DDt = (
+        D_ @ D_.T
+        + jnp.diag(1.0 - mask_)
+        + settings.proj_reg * jnp.eye(D_.shape[0], dtype=D_.dtype)
+    )
+    # unrolled diagonal-pivot Gauss-Jordan: DDt is SPD by construction
+    Dpinv = D_.T @ gj_inverse(DDt)                    # (nu, m)
+    X = Dpinv @ jnp.concatenate([g_[:, None], C_, D_], axis=1)
+    e = -X[:, 0]
+    E = -X[:, 1:1 + nx]                               # (nu, nx)
+    P = eye_u - X[:, 1 + nx:]                         # symmetric projector
+
+    U = jnp.concatenate([e[:, None], E, P], axis=1)   # (nu, 1+nx+nu)
+    YQ = Quu_ @ U
+    Qe = YQ[:, 0] + qu_                               # Quu e + qu
+    QuuE = YQ[:, 1:1 + nx]
+    QuuP = YQ[:, 1 + nx:]
+    BU = B_ @ U
+    d_t = d_ + BU[:, 0]
+    A_t = A_ + BU[:, 1:1 + nx]
+    B_t = BU[:, 1 + nx:]
+
+    R1 = jnp.concatenate([Qe[:, None], QuuE, Qux_, QuuP], axis=1)
+    T = jnp.concatenate([E, P], axis=1).T @ R1        # (nx+nu, 1+2nx+nu)
+    TE, TP = T[:nx], T[nx:]
+    qx_t = qx_ + TE[:, 0] + Qux_.T @ e
+    qw = TP[:, 0]                                     # P Qe
+    EQux = TE[:, 1 + nx:1 + 2 * nx]                   # E' Qux
+    Qxx_t = Qxx_ + TE[:, 1:1 + nx] + EQux + EQux.T
+    Qwx = TP[:, 1:1 + nx] + TP[:, 1 + nx:1 + 2 * nx]  # P (Quu E + Qux)
+    sigma = 1.0 + jnp.trace(Quu_) / nu
+    Qww = TP[:, 1 + 2 * nx:] + sigma * (eye_u - P) + settings.hess_reg * eye_u
+    return A_t, B_t, d_t, qx_t, qw, Qxx_t, Qww, Qwx, E, e, P
 
 
 # ---------------------------------------------------------------------------
@@ -205,44 +282,10 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
         )
         defects = xnext - xs[1:]  # d_k = Phi(x_k,u_k) - x_{k+1}
 
-        # ---- constraint projection (fixed shape) ----
-        eye_u = jnp.eye(nu, dtype=xs.dtype)
-
-        def project(A_, B_, d_, qx_, qu_, Qxx_, Quu_, Qux_, g_, C_, D_, mask_):
-            # masked (inactive) rows carry a unit diagonal so the 16x16
-            # inverse stays O(1)-conditioned in f32; live rows get a small
-            # Tikhonov regularizer
-            DDt = (
-                D_ @ D_.T
-                + jnp.diag(1.0 - mask_)
-                + settings.proj_reg * jnp.eye(D_.shape[0], dtype=D_.dtype)
-            )
-            # unrolled no-pivot Gauss-Jordan: DDt is symmetric positive
-            # definite by construction (unit diagonal on masked rows + reg),
-            # and the GJ tableau is pure vectorized arithmetic on TPU where
-            # XLA's LU is row-sequential
-            from ..ops.linalg import gj_inverse
-            Dpinv = D_.T @ gj_inverse(DDt)              # (nu, m)
-            P = eye_u - Dpinv @ D_                       # null-space projector
-            E = -Dpinv @ C_                              # du = e + E dx + P w
-            e = -Dpinv @ g_
-
-            Qe = Quu_ @ e + qu_
-            qx_t = qx_ + E.T @ Qe + Qux_.T @ e
-            qw = P @ Qe
-            Qxx_t = Qxx_ + E.T @ Quu_ @ E + E.T @ Qux_ + Qux_.T @ E
-            Qww = P @ Quu_ @ P
-            sigma = 1.0 + jnp.trace(Quu_) / nu
-            Qww = Qww + sigma * (eye_u - P) + settings.hess_reg * eye_u
-            Qwx = P @ (Quu_ @ E + Qux_)
-            A_t = A_ + B_ @ E
-            B_t = B_ @ P
-            d_t = d_ + B_ @ e
-            return A_t, B_t, d_t, qx_t, qw, Qxx_t, Qww, Qwx, E, e, P
-
-        (A_t, B_t, d_t, qx_t, qw, Qxx_t, Qww, Qwx, E, e0, P) = jax.vmap(project)(
-            A, B, defects, qx, qu, Qxx, Quu, Qux, g, C, D, gmask
-        )
+        # ---- constraint projection (fixed shape; see project_knot) ----
+        (A_t, B_t, d_t, qx_t, qw, Qxx_t, Qww, Qwx, E, e0, P) = jax.vmap(
+            lambda *a: project_knot(settings, *a)
+        )(A, B, defects, qx, qu, Qxx, Quu, Qux, g, C, D, gmask)
 
         # ---- Riccati backward pass (sequential or parallel-in-time) ----
         lq = riccati.StageLQ(A=A_t, B=B_t, d=d_t, Qxx=Qxx_t, Qww=Qww,
@@ -255,7 +298,12 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
             )
         else:
             Ks, kffs, _, _ = riccati.backward_scan(
-                lq, S_term, s_term, settings.hess_reg
+                lq, S_term, s_term, settings.hess_reg,
+                ns_iters=settings.riccati_ns_iters,
+                ns_refine=settings.riccati_ns_refine,
+                precision=(None if settings.riccati_ns_precision == "highest"
+                           else settings.riccati_ns_precision),
+                solver=settings.riccati_solver,
             )
 
         # ---- forward sweep: linear rollout of deltas ----

@@ -181,6 +181,11 @@ def load_task_config(model: RobotModel, task_path: str, reference_path: str | No
             dtype,
         ),
         next_position_z=g("swing_trajectory_config.next_stance_position_z", 0.02),
+        # not in the reference's task.info (repo extension, default 0.0 =
+        # exact reference anchor); loading it here keeps the leaf an array
+        # like every other SwingConfig field (weak-typed Python-float leaves
+        # retrace when configs are swapped) — ADVICE r4
+        foothold_yaw_lead=g("swing_trajectory_config.footholdYawLead", 0.0),
     )
 
     # --- WBC ---

@@ -45,6 +45,32 @@ def test_ns_scan_matches_lu_scan():
     np.testing.assert_allclose(np.asarray(S1), np.asarray(S2), atol=5e-4)
 
 
+def test_gj_scan_matches_lu_scan():
+    """riccati_solver='gj' (no-pivot tableau solve) tracks the LU oracle."""
+    lq = _random_lq(seed=11)
+    nx = lq.A.shape[1]
+    S0, s0 = jnp.zeros((nx, nx)), jnp.zeros(nx)
+    K1, k1, S1, _ = backward_scan(lq, S0, s0, 1e-8, use_ns=False)
+    K2, k2, S2, _ = backward_scan(lq, S0, s0, 1e-8, solver="gj")
+    np.testing.assert_allclose(np.asarray(K1), np.asarray(K2), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(S1), np.asarray(S2), atol=1e-7)
+
+
+def test_gj_solve_matches_linalg():
+    from hunter_bipedal_control_tpu.ops.linalg import gj_solve
+
+    rng = np.random.default_rng(5)
+    A = rng.standard_normal((7, 12, 12))
+    A = A @ np.swapaxes(A, -1, -2) + 3.0 * np.eye(12)
+    b = rng.standard_normal((7, 12, 4))
+    x = gj_solve(jnp.asarray(A), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
+                               rtol=1e-9, atol=1e-9)
+    xv = gj_solve(jnp.asarray(A), jnp.asarray(b[..., 0]))
+    np.testing.assert_allclose(np.asarray(xv), np.linalg.solve(A, b)[..., 0],
+                               rtol=1e-9, atol=1e-9)
+
+
 def test_associative_f32_stable():
     lq = jax.tree.map(lambda a: a.astype(jnp.float32), _random_lq(N=60, seed=3))
     nx = lq.A.shape[1]

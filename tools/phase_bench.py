@@ -235,4 +235,80 @@ def jref_step(xs):
 
 
 timeit_chain("prep_planner_plus_ik", jref_step, xs_b)
+
+
+# ============ round-5 sub-phases: projection & Riccati chain ============
+# The round-4 corrected attribution left ~31 ms of the 65 ms B=128 solve in
+# "projection + Riccati + forward sweep + model selection".  These phases
+# split that residual and A/B the round-5 candidates (fused wide matmuls,
+# NS iteration budget, NS 3-pass precision, GJ tableau solve).
+_R5 = ("proj_only", "riccati_ns20", "riccati_ns12", "riccati_ns12_high",
+       "riccati_gj", "sqp_solve_gj", "sqp_solve_ns12h")
+if PHASES is None or any(p in PHASES for p in _R5):
+    from hunter_bipedal_control_tpu.solver import riccati as ric
+
+    def _lin_one(b, xw, uw):
+        # dense-tile kernel: same outputs as the SoA pass (oracle-tested),
+        # far smaller HLO — this is measurement SETUP, not a timed phase
+        out = jax.vmap(
+            lambda k: ocp.knot_linearization_fused(
+                m, params, xw[k], uw[k], b.x_nom[k], b.contact_flags[k],
+                b.foot_pos_ref[k], b.foot_vel_ref[k], dt)
+        )(jnp.arange(N))
+        return out
+
+    LIN = jax.jit(jax.vmap(_lin_one))(bundles, xs_ws, us_ws)
+    (xn_l, A_l, B_l, c_l, qx_l, qu_l, Qxx_l, Quu_l, Qux_l, g_l, C_l, D_l,
+     mask_l) = LIN
+    defects_l = xn_l - xs_ws[:, 1:]
+    qx_l, qu_l, Qxx_l, Quu_l, Qux_l = jax.tree.map(
+        lambda a: dt * a, (qx_l, qu_l, Qxx_l, Quu_l, Qux_l))
+    C_l = C_l * mask_l[..., None]
+    D_l = D_l * mask_l[..., None]
+    jax.block_until_ready(A_l)
+
+    def proj_step(qx_c):
+        out = jax.vmap(jax.vmap(lambda *a: sqp.project_knot(settings, *a)))(
+            A_l, B_l, defects_l, qx_c, qu_l, Qxx_l, Quu_l, Qux_l, g_l, C_l,
+            D_l, mask_l)
+        s = sum(jnp.sum(o) for o in out[:8])
+        return qx_c + 1e-15 * s, s
+
+    timeit_chain("proj_only", proj_step, qx_l)
+
+    PROJ = jax.jit(jax.vmap(jax.vmap(
+        lambda *a: sqp.project_knot(settings, *a))))(
+        A_l, B_l, defects_l, qx_l, qu_l, Qxx_l, Quu_l, Qux_l, g_l, C_l, D_l,
+        mask_l)
+    (A_t, B_t, d_t, qx_t, qw_t, Qxx_t, Qww_t, Qwx_t, E_t, e_t, P_t) = PROJ
+    jax.block_until_ready(A_t)
+    nxd = A_t.shape[-1]
+
+    def riccati_variant(name, **kw):
+        def step(d_c):
+            def one(A_, B_, d_, Qxx_, Qww_, Qwx_, qx_, qw_):
+                lq = ric.StageLQ(A=A_, B=B_, d=d_, Qxx=Qxx_, Qww=Qww_,
+                                 Qwx=Qwx_, qx=qx_, qw=qw_)
+                Ks, kffs, _, _ = ric.backward_scan(
+                    lq, jnp.zeros((nxd, nxd), d_.dtype),
+                    jnp.zeros(nxd, d_.dtype), settings.hess_reg, **kw)
+                return jnp.sum(Ks) + jnp.sum(kffs)
+            s = jax.vmap(one)(A_t, B_t, d_c, Qxx_t, Qww_t, Qwx_t, qx_t,
+                              qw_t).sum()
+            return d_c + 1e-15 * s, s
+        timeit_chain(name, step, d_t)
+
+    riccati_variant("riccati_ns20")
+    riccati_variant("riccati_ns12", ns_iters=12)
+    riccati_variant("riccati_ns12_high", ns_iters=12, precision="high")
+    riccati_variant("riccati_gj", solver="gj")
+
+    timeit_chain("sqp_solve_gj",
+                 solve_step_with(settings._replace(riccati_solver="gj")),
+                 xs_b)
+    timeit_chain("sqp_solve_ns12h",
+                 solve_step_with(settings._replace(
+                     riccati_ns_iters=12, riccati_ns_precision="high")),
+                 xs_b)
+
 print("done", flush=True)

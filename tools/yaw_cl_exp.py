@@ -8,7 +8,7 @@ the real state" from "the execution layer under-delivers a full-rate plan".
 Also compares KF yaw vs MuJoCo truth (gyro-integrated yaw drift would shift
 the target anchor every re-solve).
 
-Usage: python tools/yaw_cl_exp.py [yaw_rate] [dur]
+Usage: python tools/yaw_cl_exp.py [yaw_rate] [dur] [yaw_lead]
 """
 import sys
 
@@ -52,12 +52,18 @@ def main(rate=0.5, dur=4.0, yaw_lead=0.0):
     rate_true = np.polyfit(t[m], yaw_true, 1)[0]
     rate_est = np.polyfit(t[m], yaw_est, 1)[0]
     ps = np.array([s for pt, s in plan_slopes if pt > t[-1] - 0.6 * dur])
-    print(f"yaw_lead {yaw_lead:.2f} ", end="")
-    print(f"cmd {rate:+.2f}: measured yaw rate {rate_true:+.3f} "
-          f"(est {rate_est:+.3f}); closed-loop plan slope "
-          f"mean {ps.mean():+.3f} p10 {np.percentile(ps, 10):+.3f} "
-          f"p90 {np.percentile(ps, 90):+.3f}; estop={bool(loop.estop)} "
+    # estop first: an early e-stop can leave the tail window empty, and the
+    # diagnostic must survive exactly that case (ADVICE r4)
+    print(f"yaw_lead {yaw_lead:.2f} estop={bool(loop.estop)} "
           f"min_z={telem['base_z'].min():.3f}")
+    print(f"cmd {rate:+.2f}: measured yaw rate {rate_true:+.3f} "
+          f"(est {rate_est:+.3f})", end="")
+    if ps.size:
+        print(f"; closed-loop plan slope "
+              f"mean {ps.mean():+.3f} p10 {np.percentile(ps, 10):+.3f} "
+              f"p90 {np.percentile(ps, 90):+.3f}")
+    else:
+        print("; no plan samples in the tail window (early e-stop?)")
     # stance yaw authority check: wz during single-support vs double
     wz = telem["v"][m, 3]
     print(f"wz mean {wz.mean():+.3f} std {wz.std():.3f}")
