@@ -58,6 +58,20 @@ class SwingConfig(NamedTuple):
     # clamp, not from dynamics, unless the target terminal time is
     # extended (refs/targets.py cmd_vel horizon).
     foothold_yaw_lead: jnp.ndarray = 0.0
+    # Capture-point stepping feedback (round 5).  The reference feeds
+    # calNextFootPos the TARGET trajectory's first-node velocity
+    # (SwingTrajectoryPlanner.cpp:242), which for cmd_vel targets IS the
+    # command (TargetTrajectoriesPublisher.cpp:127-128) — so its
+    # k*(vel - vel_cmd) term is identically zero and the stepping layer has
+    # NO velocity feedback; the MIT-Cheetah paper the reference cites at
+    # :288 uses the MEASURED velocity here.  foothold_vel_fb blends the
+    # measured base velocity into vel_linear:
+    #   vel_linear = vel_target + fb * (vel_meas - vel_target)
+    # 0.0 = exact reference parity; 1.0 = fully measured (capture-point
+    # scale: the foothold's vel_linear sensitivity ~0.3 s matches
+    # sqrt(z/g) ~ 0.25 s).  Required for the short-stance flying trot
+    # (docs/DESIGN.md round-5 measurement).
+    foothold_vel_fb: jnp.ndarray = 0.0
 
 
 def default_swing_config(dtype=jnp.float32) -> SwingConfig:
@@ -70,6 +84,7 @@ def default_swing_config(dtype=jnp.float32) -> SwingConfig:
         feet_bias=jnp.asarray([[x1, y, z], [x1, -y, z], [x2, y, z], [x2, -y, z]], dtype),
         next_position_z=jnp.asarray(0.02, dtype),
         foothold_yaw_lead=jnp.asarray(0.0, dtype),
+        foothold_vel_fb=jnp.asarray(0.0, dtype),
     )
 
 
@@ -193,6 +208,8 @@ def update_planner(
     final_time,
     body_vel_cmd,          # (6,) commanded twist in base frame
     current_feet_position,  # (4, 3) measured/IK foot positions
+    body_vel_meas=None,    # (3,) measured world base velocity (optional;
+                           # consumed only when cfg.foothold_vel_fb != 0)
 ):
     """SwingTrajectoryPlanner::update (:164-286), one fused pass.
 
@@ -229,6 +246,10 @@ def update_planner(
 
     current_body_pose = interp_state(target, init_time)[6:12]
     current_body_vel = interp_state(target, init_time)[0:3]
+    if body_vel_meas is not None:
+        # capture-point stepping feedback (see SwingConfig.foothold_vel_fb)
+        current_body_vel = current_body_vel + cfg.foothold_vel_fb * (
+            body_vel_meas - current_body_vel)
 
     # ---- parallel stance propagation over phases ----------------------
     # The reference chains footholds phase by phase; the recurrence

@@ -48,6 +48,15 @@ class CmdVelConfig(NamedTuple):
     target_rotation_velocity: jnp.ndarray
     change_limit: jnp.ndarray        # slew rate per tick (TargetTrajectoriesPublisher.h:97)
     deadband: jnp.ndarray            # |v| below this zeroed (.cpp:109-112)
+    # Terminal-node span multiplier for the 2-point cmd_vel target.  The
+    # reference emits [t, t+horizon] (.cpp:121-125); for a 2-point LINEAR
+    # target, moving the end node to t + span*horizon with the pose
+    # advanced by span*horizon*v leaves every in-horizon interpolant
+    # BITWISE identical (same slope) and only extends the extrapolation
+    # range, so the swing planner's next_middle_time samples (up to ~1.5
+    # horizons ahead) and the foothold_yaw_lead stop clamping at the
+    # terminal yaw (the ADVICE-r4 saturation).  1.0 = reference span.
+    span_scale: jnp.ndarray = 1.0
 
 
 def default_cmd_vel_config(nj=10, dtype=jnp.float32) -> CmdVelConfig:
@@ -61,6 +70,7 @@ def default_cmd_vel_config(nj=10, dtype=jnp.float32) -> CmdVelConfig:
         target_rotation_velocity=jnp.asarray(1.57, dtype),
         change_limit=jnp.asarray(0.05, dtype),
         deadband=jnp.asarray(0.05, dtype),
+        span_scale=jnp.asarray(1.0, dtype),
     )
 
 
@@ -157,12 +167,15 @@ def cmd_vel_to_target(cmd_vel, observation_state, t_now, horizon,
     v_world = R @ cmd_vel[0:3]
 
     current_pose = observation_state[6:12]
+    # span_scale extends the terminal node (same slope -> identical
+    # in-horizon interpolants; see CmdVelConfig.span_scale)
+    span = cfg.span_scale * horizon
     target_pose = jnp.array(
         [
-            current_pose[0] + horizon * v_world[0],
-            current_pose[1] + horizon * v_world[1],
+            current_pose[0] + span * v_world[0],
+            current_pose[1] + span * v_world[1],
             cfg.com_height,
-            current_pose[3] + horizon * cmd_vel[3],
+            current_pose[3] + span * cmd_vel[3],
             0.0,
             0.0,
         ],
@@ -182,7 +195,7 @@ def cmd_vel_to_target(cmd_vel, observation_state, t_now, horizon,
     s0 = s0.at[12:].set(cfg.default_joints)
     s1 = s0.at[6:12].set(target_pose)
 
-    times = jnp.full((T_NODES,), t_now + horizon, observation_state.dtype)
+    times = jnp.full((T_NODES,), t_now + span, observation_state.dtype)
     times = times.at[0].set(t_now)
     states = jnp.tile(s1[None], (T_NODES, 1)).at[0].set(s0)
     inputs = jnp.zeros((T_NODES, nu), observation_state.dtype)

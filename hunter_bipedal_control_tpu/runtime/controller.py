@@ -114,7 +114,8 @@ _FEET = _np.asarray([0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0], _np.float32)
 def control_tick(model: RobotModel, wbc_params: WbcParams, gains: GainConfig,
                  wbc_state: WbcState, policy: SqpSolution, schedule: ModeSchedule,
                  t, x_est, rbd_measured, default_joints, set_walk,
-                 emergency_stop, loop_dt, policy_lead=0.0):
+                 emergency_stop, loop_dt, policy_lead=0.0, swing_lead=0.0,
+                 lead_forces=True):
     """One 500 Hz controller update.  Returns (TickOutput, new WbcState).
 
     ``policy_lead`` evaluates the primal policy ``lead`` seconds ahead of
@@ -130,11 +131,43 @@ def control_tick(model: RobotModel, wbc_params: WbcParams, gains: GainConfig,
     delivers none of the plan's swing catch-up (measured as the backward
     toe-apex deficit, docs/DESIGN.md round-4).  ``policy_lead`` restores
     the reference's own effective policy age.  Mode flags stay at ``t``
-    (the reference also gates contacts at the current time, :296-303)."""
+    (the reference also gates contacts at the current time, :296-303).
+
+    ``swing_lead`` (round 5) applies an EXTRA lead to the SWING legs'
+    joint references only.  A global lead also leads the stance legs'
+    position targets and the contact-schedule content of the policy
+    sample, which for short-stance gaits (flying trot: 0.15 s windows)
+    exits stances ~20% early and fells the robot within seconds
+    (docs/DESIGN.md round-5 flying-trot bisection: lead 28 ms falls at
+    engagement; lead 0 walks but the un-led swing catch-up leaves a
+    persistent +0.1 rad forward lean, toe-first stances, and a toe-vault
+    fall at ~5 s).  Splitting the lead per leg gives the swing feet the
+    plan's catch-up window while stance references stay anchored at t.
+
+    ``lead_forces=False`` keeps the FORCE feedforward (u[0:12]) sampled at
+    ``t`` while the motion references take the lead: a led sample that
+    crosses a contact-mode switch reads the NEXT mode's force plan (for
+    flying trot, the FLY phase's zeros during the last ~fifth of every
+    0.15 s stance), and the WBC's force-tracking task then unloads the
+    stance leg exactly when push-off should peak."""
     dtype = x_est.dtype
     x_opt, u_opt = evaluate_policy(policy, t + policy_lead)
     mode = mode_at_time(schedule, t)
     contact_flags = jnp.asarray(MODE_CONTACTS, dtype)[mode]
+    if policy_lead and not lead_forces:
+        _, u_now = evaluate_policy(policy, t)
+        u_opt = u_opt.at[0:12].set(u_now[0:12])
+    if swing_lead:
+        x_led, u_led = evaluate_policy(policy, t + policy_lead + swing_lead)
+        # toe-contact flag of leg j//5 gates each joint (stance keeps the
+        # un-led sample; swing takes the led one)
+        leg_sw = jnp.concatenate(
+            [jnp.repeat(contact_flags[0], 5), jnp.repeat(contact_flags[1], 5)]
+        )
+        x_opt = x_opt.at[12:22].set(
+            jnp.where(leg_sw > 0.5, x_opt[12:22], x_led[12:22]))
+        u_opt = u_opt.at[12:22].set(
+            jnp.where(leg_sw > 0.5, u_opt[12:22], u_led[12:22]))
 
     # stance override until /set_walk (LeggedController.cpp:161-173)
     x_stance = jnp.zeros_like(x_opt).at[6:12].set(x_est[6:12]).at[12:].set(default_joints)

@@ -44,7 +44,8 @@ class MjClosedLoop:
                  lin_backend: str = "dense", wbc_params=None,
                  cheater: bool = False, kf_contact: str = "rocker",
                  policy_lead: float = 0.028, swing_cfg=None, gains=None,
-                 fixed_gait: str | None = None):
+                 fixed_gait: str | None = None, cmd_cfg=None,
+                 swing_lead: float = 0.0, lead_forces: bool = True):
         # lin_backend default 'dense': this loop runs the controller on the
         # host CPU next to MuJoCo, where the SoA kernels' ~600k-line HLO
         # compiles for minutes; 'dense' is oracle-identical (tests/test_soa)
@@ -109,7 +110,8 @@ class MjClosedLoop:
         from .controller import reconfigure_gains
         self.gains = (reconfigure_gains(default_gains(), kd_feet=4.0)
                       if gains is None else gains)
-        self.cmd_cfg = tg.default_cmd_vel_config()
+        self.cmd_cfg = tg.default_cmd_vel_config() if cmd_cfg is None \
+            else cmd_cfg
         kf_params = default_kalman_params()
         obs_params = default_contact_params()
         m = self.model
@@ -144,6 +146,8 @@ class MjClosedLoop:
         # (docs/DESIGN.md round-4 sweep: backward −0.35 tracks at −0.344
         # with it, −0.270 without).
         self.policy_lead = float(policy_lead)
+        self.swing_lead = float(swing_lead)
+        self.lead_forces = bool(lead_forces)
 
         self._default_q0 = DEFAULT_Q0
 
@@ -249,7 +253,8 @@ class MjClosedLoop:
             out, wbc_state = control_tick(
                 m, wbc_params, gains, wbc_state, sol, sched, t, x_now, rbd,
                 self.dj, set_walk, estop, control_dt,
-                policy_lead=self.policy_lead)
+                policy_lead=self.policy_lead, swing_lead=self.swing_lead,
+                lead_forces=self.lead_forces)
             return (out.command, kf, obs, wbc_state, out.emergency_stop,
                     x_now, rbd, est_contact, early, late,
                     out.optimized_state, out.optimized_input,

@@ -106,7 +106,7 @@ def prepare_references(model: RobotModel, settings: sqp.SqpSettings,
     feet = _current_feet(model, x_init)
     refs, planner_state = swp.update_planner(
         planner_cfg, planner_state, schedule, target, init_time, final_time,
-        body_vel_cmd, feet,
+        body_vel_cmd, feet, body_vel_meas=x_init[0:3],
     )
 
     n_samples = int(settings.horizon / JOINT_REF_STEP) + 1

@@ -41,7 +41,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.linalg import gj_solve, spd_solve
+from ..ops.linalg import bsmm, gj_solve, spd_solve
 
 
 class StageLQ(NamedTuple):
@@ -59,7 +59,7 @@ class StageLQ(NamedTuple):
 
 def backward_scan(lq: StageLQ, S_term, s_term, reg: float, use_ns: bool = True,
                   ns_iters: int = 20, ns_refine: int = 2, precision=None,
-                  solver: str = "ns"):
+                  solver: str = "ns", mm: str = "mxu"):
     """Sequential Riccati (lax.scan), returns (Ks, kffs, Ss, ss).
 
     ``use_ns`` replaces the TPU-hostile LU solve of Huu with the
@@ -75,7 +75,9 @@ def backward_scan(lq: StageLQ, S_term, s_term, reg: float, use_ns: bool = True,
     ``solver`` selects the Huu solve: 'ns' (Newton-Schulz + refinement,
     knobs ns_iters/ns_refine/precision — see ops/linalg.spd_solve) or
     'gj' (no-pivot Gauss-Jordan tableau: n VPU rank-1 updates, zero
-    matmuls — SPD-stable since the Schur diagonals stay positive)."""
+    matmuls — SPD-stable since the Schur diagonals stay positive).
+    ``mm='vpu'`` routes the scan-body products through ops.linalg.bsmm
+    (broadcast contraction — exact f32, no MXU tile padding)."""
     nx = lq.A.shape[1]
     nu = lq.B.shape[2]
 
@@ -85,12 +87,14 @@ def backward_scan(lq: StageLQ, S_term, s_term, reg: float, use_ns: bool = True,
         [jnp.swapaxes(lq.A, -1, -2), jnp.swapaxes(lq.B, -1, -2)], axis=1
     )  # (N, nx+nu, nx)
 
+    dot = bsmm if mm == "vpu" else jnp.matmul
+
     def backward(carry, inp):
         S, s = carry
         M_, ABt_, Qxx_, Qww_, Qwx_, qx_, qw_ = inp
-        SM = S @ M_                                    # [SA, SB, Sd]
+        SM = dot(S, M_)                                # [SA, SB, Sd]
         SM = SM.at[:, -1].add(s)                       # last col -> Sd + s
-        H = ABt_ @ SM                                  # (nx+nu, nx+nu+1)
+        H = dot(ABt_, SM)                              # (nx+nu, nx+nu+1)
         Huu = Qww_ + H[nx:, nx:nx + nu]
         shift = reg * (1.0 + jnp.trace(Huu) / nu)
         Huu = Huu + shift * jnp.eye(nu, dtype=S.dtype)
@@ -101,11 +105,11 @@ def backward_scan(lq: StageLQ, S_term, s_term, reg: float, use_ns: bool = True,
             Kk = -gj_solve(Huu, rhs)
         elif use_ns:
             Kk = -spd_solve(Huu, rhs, iters=ns_iters, refine=ns_refine,
-                            precision=precision)
+                            precision=precision, mm=mm)
         else:
             Kk = -jnp.linalg.solve(Huu, rhs)
         K, kff = Kk[:, :nx], Kk[:, nx]
-        HK = Hux.T @ Kk                                # [Hux'K, Hux'kff]
+        HK = dot(Hux.T, Kk)                            # [Hux'K, Hux'kff]
         S_new = Qxx_ + H[:nx, :nx] + HK[:, :nx]
         S_new = 0.5 * (S_new + S_new.T)
         s_new = qx_ + H[:nx, -1] + HK[:, nx]

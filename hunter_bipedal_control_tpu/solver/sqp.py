@@ -84,6 +84,19 @@ class SqpSettings(NamedTuple):
     riccati_ns_iters: int = 20
     riccati_ns_refine: int = 2
     riccati_ns_precision: str = "highest"
+    # Small-matmul routing for the projection + Riccati chain: 'mxu'
+    # (lax.dot_general) or 'vpu' (ops.linalg.bsmm broadcast contraction —
+    # exact f32, avoids 128-lane tile padding + 6-pass bf16 on 22-dim
+    # operands).  Round-5 TPU A/B (tools/phase_bench.py, B=128, 66 knots):
+    # projection 52.8 -> 4.7 ms, Riccati scan 21.1 -> 6.4 ms, full
+    # sqp_solve 69.8 -> 12.5 ms — 'vpu' is the default.
+    small_mm: str = "vpu"
+    # Projection Gram inverse pivoting: the DDt Gram is SPD with unit
+    # diagonal on masked rows (O(1) conditioned), so no-pivot GJ is
+    # bitwise-stable here (CPU equivalence check: identical outputs) and
+    # default; diagonal pivoting remains available for ill-conditioned
+    # row sets.
+    proj_pivot: bool = False
     # Linearization/merit kernel implementation.  'soa': the scalarized
     # SoA core (models/soa.py) — fastest on TPU (full-width elementwise
     # fusion) but emits ~600k lines of HLO, which the CPU backend compiles
@@ -149,38 +162,40 @@ def project_knot(settings: SqpSettings, A_, B_, d_, qx_, qu_, Qxx_, Quu_,
       T  = [E P]' @ [Qe QuuE Qux QuuP] -> every Gram block (qx_t, qw,
                                           Qxx_t, Qwx, Qww) at once
     — same flops, ~3x fewer MXU dispatches on tile-padded 22-dim operands
-    (docs/DESIGN.md round-5 measurement)."""
-    from ..ops.linalg import gj_inverse
+    (docs/DESIGN.md round-5 measurement).  settings.small_mm='vpu' routes
+    them through ops.linalg.bsmm instead (broadcast contraction)."""
+    from ..ops.linalg import bsmm, gj_inverse
 
+    dot = bsmm if settings.small_mm == "vpu" else jnp.matmul
     nu = B_.shape[1]
     nx = A_.shape[0]
     eye_u = jnp.eye(nu, dtype=A_.dtype)
     DDt = (
-        D_ @ D_.T
+        dot(D_, D_.T)
         + jnp.diag(1.0 - mask_)
         + settings.proj_reg * jnp.eye(D_.shape[0], dtype=D_.dtype)
     )
     # unrolled diagonal-pivot Gauss-Jordan: DDt is SPD by construction
-    Dpinv = D_.T @ gj_inverse(DDt)                    # (nu, m)
-    X = Dpinv @ jnp.concatenate([g_[:, None], C_, D_], axis=1)
+    Dpinv = dot(D_.T, gj_inverse(DDt, pivot=settings.proj_pivot))  # (nu, m)
+    X = dot(Dpinv, jnp.concatenate([g_[:, None], C_, D_], axis=1))
     e = -X[:, 0]
     E = -X[:, 1:1 + nx]                               # (nu, nx)
     P = eye_u - X[:, 1 + nx:]                         # symmetric projector
 
     U = jnp.concatenate([e[:, None], E, P], axis=1)   # (nu, 1+nx+nu)
-    YQ = Quu_ @ U
+    YQ = dot(Quu_, U)
     Qe = YQ[:, 0] + qu_                               # Quu e + qu
     QuuE = YQ[:, 1:1 + nx]
     QuuP = YQ[:, 1 + nx:]
-    BU = B_ @ U
+    BU = dot(B_, U)
     d_t = d_ + BU[:, 0]
     A_t = A_ + BU[:, 1:1 + nx]
     B_t = BU[:, 1 + nx:]
 
     R1 = jnp.concatenate([Qe[:, None], QuuE, Qux_, QuuP], axis=1)
-    T = jnp.concatenate([E, P], axis=1).T @ R1        # (nx+nu, 1+2nx+nu)
+    T = dot(jnp.concatenate([E, P], axis=1).T, R1)    # (nx+nu, 1+2nx+nu)
     TE, TP = T[:nx], T[nx:]
-    qx_t = qx_ + TE[:, 0] + Qux_.T @ e
+    qx_t = qx_ + TE[:, 0] + dot(Qux_.T, e[:, None])[:, 0]
     qw = TP[:, 0]                                     # P Qe
     EQux = TE[:, 1 + nx:1 + 2 * nx]                   # E' Qux
     Qxx_t = Qxx_ + TE[:, 1:1 + nx] + EQux + EQux.T
@@ -304,6 +319,7 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
                 precision=(None if settings.riccati_ns_precision == "highest"
                            else settings.riccati_ns_precision),
                 solver=settings.riccati_solver,
+                mm=settings.small_mm,
             )
 
         # ---- forward sweep: linear rollout of deltas ----
@@ -318,15 +334,28 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
                 "kij,kj->ki", P, ws
             )
         else:
+            # fused forward rollout: the six per-step matvecs stack into two
+            # ([K;E;A] dx and [P;B] w) — same flops, 3x fewer dispatches on
+            # tile-padded operands; small_mm='vpu' additionally routes them
+            # through the broadcast contraction (see SqpSettings.small_mm)
+            from ..ops.linalg import bsmm
+            dotv = ((lambda M_, v_: bsmm(M_, v_[..., None])[..., 0])
+                    if settings.small_mm == "vpu" else
+                    (lambda M_, v_: M_ @ v_))
+            KEA = jnp.concatenate([Ks, E, A_t], axis=1)  # (N, 2nu+nx, nx)
+            PB = jnp.concatenate([P, B_t], axis=1)       # (N, nu+nx, nu)
+
             def forward(dx, inp):
-                A_, B_, d_, K, kff, E_, e_, P_ = inp
-                w = K @ dx + kff
-                du = e_ + E_ @ dx + P_ @ w
-                dx_next = A_ @ dx + B_ @ w + d_
+                kea, pb, d_, kff, e_ = inp
+                r = dotv(kea, dx)                        # [K dx, E dx, A dx]
+                w = r[:nu] + kff
+                pbw = dotv(pb, w)                        # [P w, B w]
+                du = e_ + r[nu:2 * nu] + pbw[:nu]
+                dx_next = r[2 * nu:] + pbw[nu:] + d_
                 return dx_next, (dx, du)
 
             dx_last, (dxs, dus) = jax.lax.scan(
-                forward, dx0, (A_t, B_t, d_t, Ks, kffs, E, e0, P)
+                forward, dx0, (KEA, PB, d_t, kffs, e0)
             )
             dxs_full = jnp.concatenate([dxs, dx_last[None]], axis=0)  # (N+1, nx)
 

@@ -242,8 +242,10 @@ timeit_chain("prep_planner_plus_ik", jref_step, xs_b)
 # "projection + Riccati + forward sweep + model selection".  These phases
 # split that residual and A/B the round-5 candidates (fused wide matmuls,
 # NS iteration budget, NS 3-pass precision, GJ tableau solve).
-_R5 = ("proj_only", "riccati_ns20", "riccati_ns12", "riccati_ns12_high",
-       "riccati_gj", "sqp_solve_gj", "sqp_solve_ns12h")
+_R5 = ("proj_only", "proj_nopivot", "proj_vpu", "riccati_ns20",
+       "riccati_ns12", "riccati_ns12_high", "riccati_gj", "riccati_ns12_vpu",
+       "riccati_ns8_vpu", "riccati_ns20_vpu", "sqp_solve_gj",
+       "sqp_solve_ns12h", "sqp_solve_fast", "sqp_solve_vpu")
 if PHASES is None or any(p in PHASES for p in _R5):
     from hunter_bipedal_control_tpu.solver import riccati as ric
 
@@ -267,14 +269,19 @@ if PHASES is None or any(p in PHASES for p in _R5):
     D_l = D_l * mask_l[..., None]
     jax.block_until_ready(A_l)
 
-    def proj_step(qx_c):
-        out = jax.vmap(jax.vmap(lambda *a: sqp.project_knot(settings, *a)))(
-            A_l, B_l, defects_l, qx_c, qu_l, Qxx_l, Quu_l, Qux_l, g_l, C_l,
-            D_l, mask_l)
-        s = sum(jnp.sum(o) for o in out[:8])
-        return qx_c + 1e-15 * s, s
+    def proj_variant(name, s_):
+        def proj_step(qx_c):
+            out = jax.vmap(jax.vmap(lambda *a: sqp.project_knot(s_, *a)))(
+                A_l, B_l, defects_l, qx_c, qu_l, Qxx_l, Quu_l, Qux_l, g_l,
+                C_l, D_l, mask_l)
+            s = sum(jnp.sum(o) for o in out[:8])
+            return qx_c + 1e-15 * s, s
+        timeit_chain(name, proj_step, qx_l)
 
-    timeit_chain("proj_only", proj_step, qx_l)
+    proj_variant("proj_only", settings)
+    proj_variant("proj_nopivot", settings._replace(proj_pivot=False))
+    proj_variant("proj_vpu", settings._replace(small_mm="vpu",
+                                               proj_pivot=False))
 
     PROJ = jax.jit(jax.vmap(jax.vmap(
         lambda *a: sqp.project_knot(settings, *a))))(
@@ -302,6 +309,9 @@ if PHASES is None or any(p in PHASES for p in _R5):
     riccati_variant("riccati_ns12", ns_iters=12)
     riccati_variant("riccati_ns12_high", ns_iters=12, precision="high")
     riccati_variant("riccati_gj", solver="gj")
+    riccati_variant("riccati_ns12_vpu", ns_iters=12, mm="vpu")
+    riccati_variant("riccati_ns8_vpu", ns_iters=8, mm="vpu")
+    riccati_variant("riccati_ns20_vpu", mm="vpu")
 
     timeit_chain("sqp_solve_gj",
                  solve_step_with(settings._replace(riccati_solver="gj")),
@@ -309,6 +319,16 @@ if PHASES is None or any(p in PHASES for p in _R5):
     timeit_chain("sqp_solve_ns12h",
                  solve_step_with(settings._replace(
                      riccati_ns_iters=12, riccati_ns_precision="high")),
+                 xs_b)
+    timeit_chain("sqp_solve_fast",
+                 solve_step_with(settings._replace(
+                     small_mm="vpu", proj_pivot=False, riccati_ns_iters=12,
+                     riccati_ns_precision="high")),
+                 xs_b)
+    # full NS accuracy, VPU routing (bsmm iterations are cheap)
+    timeit_chain("sqp_solve_vpu",
+                 solve_step_with(settings._replace(
+                     small_mm="vpu", proj_pivot=False)),
                  xs_b)
 
 print("done", flush=True)

@@ -25,12 +25,23 @@ import numpy as np
 from hunter_bipedal_control_tpu.runtime.mj_loop import MjClosedLoop, Segment
 
 
-def main(rate=0.5, dur=4.0, yaw_lead=0.0):
+def main(rate=0.5, dur=4.0, yaw_lead=0.0, span=1.0, ang_kp=0.0, vel_fb=0.0):
     from hunter_bipedal_control_tpu.refs.swing_planner import default_swing_config
+    from hunter_bipedal_control_tpu.refs.targets import default_cmd_vel_config
+    from hunter_bipedal_control_tpu.wbc.wbc import default_wbc_params
     import jax.numpy as jnp
     cfg = default_swing_config()._replace(
-        foothold_yaw_lead=jnp.asarray(yaw_lead, jnp.float32))
-    loop = MjClosedLoop(swing_cfg=cfg)
+        foothold_yaw_lead=jnp.asarray(yaw_lead, jnp.float32),
+        foothold_vel_fb=jnp.asarray(vel_fb, jnp.float32))
+    kw = {}
+    if span != 1.0:
+        kw["cmd_cfg"] = default_cmd_vel_config()._replace(
+            span_scale=jnp.asarray(span, jnp.float32))
+    if ang_kp > 0.0:
+        wp = default_wbc_params()
+        kw["wbc_params"] = wp._replace(
+            base_angular_kp=jnp.asarray(ang_kp, jnp.float32))
+    loop = MjClosedLoop(swing_cfg=cfg, **kw)
     plan_slopes = []
 
     def cb(lp):
@@ -54,7 +65,8 @@ def main(rate=0.5, dur=4.0, yaw_lead=0.0):
     ps = np.array([s for pt, s in plan_slopes if pt > t[-1] - 0.6 * dur])
     # estop first: an early e-stop can leave the tail window empty, and the
     # diagnostic must survive exactly that case (ADVICE r4)
-    print(f"yaw_lead {yaw_lead:.2f} estop={bool(loop.estop)} "
+    print(f"yaw_lead {yaw_lead:.2f} span {span:.1f} ang_kp {ang_kp:.0f} "
+          f"vel_fb {vel_fb:.1f} estop={bool(loop.estop)} "
           f"min_z={telem['base_z'].min():.3f}")
     print(f"cmd {rate:+.2f}: measured yaw rate {rate_true:+.3f} "
           f"(est {rate_est:+.3f})", end="")
