@@ -88,11 +88,23 @@ def main():
     x0_dev = jax.device_put(x0)   # keep the input resident on device
     single = jax.jit(one_mpc)
     single(x0_dev).block_until_ready()
-    lats = []
-    for _ in range(max(reps * 10, 100)):
-        t0 = time.perf_counter()
-        single(x0_dev).block_until_ready()
-        lats.append(time.perf_counter() - t0)
+
+    def _measure_single():
+        lats_ = []
+        for _ in range(max(reps * 10, 100)):
+            t0_ = time.perf_counter()
+            single(x0_dev).block_until_ready()
+            lats_.append(time.perf_counter() - t0_)
+        return lats_
+
+    lats = _measure_single()
+    # plausibility retry: a sub-ms per-call figure through the axon tunnel
+    # is physically impossible (an EMPTY jit dispatch measures ~25-35 ms);
+    # one observed failure mode returns ~0.03 ms when the tunnel serves a
+    # stale future — remeasure once after a fresh warmup call
+    if np.percentile(lats, 50) * 1e3 < 0.5:
+        single(jax.device_put(x0 + 1e-6)).block_until_ready()
+        lats = _measure_single()
     lat_p50 = float(np.percentile(lats, 50) * 1e3)
     lat_p99 = float(np.percentile(lats, 99) * 1e3)
     lat_std = float(np.std(lats) * 1e3)
@@ -120,10 +132,17 @@ def main():
         return costs.sum()
 
     chained(x0).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(3):
-        chained(x0).block_until_ready()
-    lat_chained = (time.perf_counter() - t0) / 3 / K_CHAIN * 1e3
+
+    def _measure_chain():
+        t0_ = time.perf_counter()
+        for _ in range(3):
+            chained(x0).block_until_ready()
+        return (time.perf_counter() - t0_) / 3 / K_CHAIN * 1e3
+
+    lat_chained = _measure_chain()
+    if lat_chained < 0.2:  # plausibility retry (see single-latency note)
+        chained(x0 + 1e-6).block_until_ready()
+        lat_chained = _measure_chain()
 
     # ---- sustained real-time demonstration (VERDICT r1 #2) ----
     # Run the FULL closed loop (KF + momentum observer + MPC + WBC + PD

@@ -43,6 +43,13 @@ class SimParams(NamedTuple):
     # domain-sweep knobs (BASELINE config 5); None = off (statically elided)
     gravity_delta: jnp.ndarray | None = None  # (3,) extra uniform field (terrain tilt)
     mass_scale: jnp.ndarray | None = None     # plant link-mass/inertia scale
+    # Sole-surface drop below the toe/heel FRAME origins (round 5).  The
+    # reference's hunter.xml contacts on the foot-sole BOX surface, whose
+    # bottom sits ~1.2 cm below the contact frames (measured via MuJoCo
+    # geom_xpos at the nominal stance) — contacting at the frame origins
+    # was the dominant term of the ~3 cm cross-engine settled-height split
+    # (docs/DESIGN.md cross-engine table; tests/test_cross_engine.py).
+    sole_drop: jnp.ndarray | None = None      # scalar; None = 0 (legacy)
 
 
 def default_sim_params(dtype=jnp.float32, control_dt=0.002, substeps=8,
@@ -63,6 +70,7 @@ def default_sim_params(dtype=jnp.float32, control_dt=0.002, substeps=8,
         armature=jnp.asarray(0.05, dtype),
         joint_damping=jnp.asarray(0.2, dtype),
         delay_steps=int(round(delay_ms * 1e-3 / dt)),
+        sole_drop=jnp.asarray(0.0119, dtype),
     )
 
 
@@ -92,8 +100,11 @@ def init_sim_state(q0, v0=None, t0=0.0) -> SimState:
 
 
 def _contact_force(params: SimParams, p, vp):
-    """Per-point spring-damper ground force (world frame), z=0 plane."""
-    pen = -p[2]
+    """Per-point spring-damper ground force (world frame).  The contact
+    surface sits ``sole_drop`` below the toe/heel frames (the sole-box
+    bottom in the reference's hunter.xml); the ground plane stays z=0."""
+    drop = 0.0 if params.sole_drop is None else params.sole_drop
+    pen = drop - p[2]
     in_contact = pen > 0.0
     fn = jnp.where(in_contact,
                    params.contact_kn * pen - params.contact_dn * vp[2], 0.0)

@@ -22,7 +22,15 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-MAX_PHASES = 32  # fixed phase capacity of a schedule window
+# Fixed phase capacity of a schedule window.  Sized for the densest
+# shipped gait: flying trot burns 10 phases/s (4 per 0.4 s period), and a
+# window must hold [t - 1 s kept past, t + 2 s planner horizon] plus the
+# whole-template extension granularity — 32 SATURATED during flying-trot
+# runs from ~3 s in (round-5 measurement: occupancy pinned at 32/32 with
+# last_event only ~1.5 s ahead, silently truncating the swing planner's
+# far window and degrading late-horizon footholds).  56 holds ~4.5 s of
+# flying trot; trot/stance use well under half.
+MAX_PHASES = 56
 NUM_FEET = 4
 
 FLY, R_MODE, L_MODE, STANCE = 0, 1, 2, 3

@@ -45,7 +45,7 @@ class MjClosedLoop:
                  cheater: bool = False, kf_contact: str = "rocker",
                  policy_lead: float = 0.028, swing_cfg=None, gains=None,
                  fixed_gait: str | None = None, cmd_cfg=None,
-                 swing_lead: float = 0.0, lead_forces: bool = True):
+                 swing_lead: float = 0.0, lead_forces: bool | None = None):
         # lin_backend default 'dense': this loop runs the controller on the
         # host CPU next to MuJoCo, where the SoA kernels' ~600k-line HLO
         # compiles for minutes; 'dense' is oracle-identical (tests/test_soa)
@@ -147,6 +147,13 @@ class MjClosedLoop:
         # with it, −0.270 without).
         self.policy_lead = float(policy_lead)
         self.swing_lead = float(swing_lead)
+        # lead_forces default is PER-GAIT: with 0.15 s flying-trot stances
+        # the led force feedforward reads the next FLY phase's zeros during
+        # the last ~fifth of every stance and the gait falls at engagement
+        # (round-5 ablation, docs/DESIGN.md); trot keeps the round-4
+        # all-led behavior.
+        if lead_forces is None:
+            lead_forces = fixed_gait != "flying_trot"
         self.lead_forces = bool(lead_forces)
 
         self._default_q0 = DEFAULT_Q0

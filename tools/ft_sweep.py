@@ -27,13 +27,16 @@ from hunter_bipedal_control_tpu.runtime.mj_loop import MjClosedLoop, Segment  # 
 
 def run_one(tag, vx=0.40, dur=4.0, swing_height=None, policy_lead=None,
             kd_feet=None, ramp=False, trace=None, vel_fb=None,
-            swing_kp_scale=None, swing_lead=None, lead_forces=None):
+            swing_kp_scale=None, swing_lead=None, lead_forces=None,
+            bias_y=None, ticks_per_mpc=None):
     kw = {}
+    if ticks_per_mpc is not None:
+        kw["ticks_per_mpc"] = ticks_per_mpc
     if swing_lead is not None:
         kw["swing_lead"] = swing_lead
     if lead_forces is not None:
         kw["lead_forces"] = lead_forces
-    if swing_height is not None or vel_fb is not None:
+    if swing_height is not None or vel_fb is not None or bias_y is not None:
         cfg = default_swing_config()
         if swing_height is not None:
             cfg = cfg._replace(swing_height=jnp.asarray(swing_height,
@@ -41,6 +44,10 @@ def run_one(tag, vx=0.40, dur=4.0, swing_height=None, policy_lead=None,
         if vel_fb is not None:
             cfg = cfg._replace(foothold_vel_fb=jnp.asarray(vel_fb,
                                                            jnp.float32))
+        if bias_y is not None:
+            fb = cfg.feet_bias
+            sign = jnp.sign(fb[:, 1])
+            cfg = cfg._replace(feet_bias=fb.at[:, 1].set(sign * bias_y))
         kw["swing_cfg"] = cfg
     if policy_lead is not None:
         kw["policy_lead"] = policy_lead
@@ -97,6 +104,38 @@ if __name__ == "__main__":
         run_one("velfb1.0(lead28)", 0.40, vel_fb=1.0)
         run_one("lead0-8s", 0.40, dur=8.0, policy_lead=0.0,
                 trace="/tmp/ft_lead0.npz")
+    elif which == "j":
+        # MAX_PHASES=56 ablation: which knobs are actually required?
+        run_one("m56+nofl+velfb1-12s", 0.40, dur=12.0, vel_fb=1.0,
+                lead_forces=False, trace="/tmp/ft_m56_full.npz")
+        run_one("m56+parity-12s", 0.40, dur=12.0)
+        run_one("m56+velfb1-12s", 0.40, dur=12.0, vel_fb=1.0)
+        run_one("m56+nofl-12s", 0.40, dur=12.0, lead_forces=False)
+    elif which == "i":
+        # 250 Hz MPC (ticks_per_mpc=2): the TPU budget allows 2.5x the
+        # reference's replan rate — tighter attitude feedback per step
+        run_one("mpc250+nofl+velfb1-10s", 0.40, dur=10.0, vel_fb=1.0,
+                lead_forces=False, ticks_per_mpc=2,
+                trace="/tmp/ft_mpc250.npz")
+        run_one("mpc250+lead0+velfb1-10s", 0.40, dur=10.0, policy_lead=0.0,
+                vel_fb=1.0, ticks_per_mpc=2)
+    elif which == "h":
+        run_one("nofl+velfb1+y13-10s", 0.40, dur=10.0, vel_fb=1.0,
+                lead_forces=False, bias_y=0.13)
+        run_one("nofl+velfbY-10s", 0.40, dur=10.0,
+                vel_fb=[0.6, 1.2, 0.0], lead_forces=False)
+        run_one("nofl+velfb1+y13+apex6-10s", 0.40, dur=10.0, vel_fb=1.0,
+                lead_forces=False, bias_y=0.13, swing_height=0.06,
+                trace="/tmp/ft_h3.npz")
+    elif which == "g":
+        run_one("nofl+velfb1+apex6-10s", 0.40, dur=10.0, vel_fb=1.0,
+                lead_forces=False, swing_height=0.06)
+        run_one("nofl+velfb1@0.35-10s", 0.35, dur=10.0, vel_fb=1.0,
+                lead_forces=False)
+        run_one("lead20+nofl+velfb1-10s", 0.40, dur=10.0, policy_lead=0.020,
+                vel_fb=1.0, lead_forces=False)
+        run_one("nofl+velfb1+kd6-10s", 0.40, dur=10.0, vel_fb=1.0,
+                lead_forces=False, kd_feet=6.0)
     elif which == "f":
         # motion lead WITHOUT force lead (forces sampled at t): tests the
         # stance-unloading hypothesis for the lead28 fall
