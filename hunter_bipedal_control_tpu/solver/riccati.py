@@ -123,31 +123,35 @@ def backward_scan(lq: StageLQ, S_term, s_term, reg: float, use_ns: bool = True,
     return Ks, kffs, Ss_next, ss_next
 
 
-def _stage_elements(lq: StageLQ, reg: float):
+def _stage_elements(lq: StageLQ, reg: float, mm: str = "mxu"):
     """Build scattering elements (F, C, X, c, q) per stage (vmapped)."""
     nu = lq.B.shape[2]
+    dot = bsmm if mm == "vpu" else jnp.matmul
 
     def one(A, B, d, Qxx, Qww, Qwx, qx, qw):
         shift = reg * (1.0 + jnp.trace(Qww) / nu)
-        L = jnp.linalg.cholesky(Qww + shift * jnp.eye(nu, dtype=A.dtype))
-        iQ = jax.scipy.linalg.cho_solve(
-            (L, True), jnp.concatenate([Qwx, qw[:, None], B.T], axis=1)
-        )
+        Qr = Qww + shift * jnp.eye(nu, dtype=A.dtype)
+        rhs = jnp.concatenate([Qwx, qw[:, None], B.T], axis=1)
+        if mm == "vpu":
+            iQ = spd_solve(Qr, rhs, mm="vpu")
+        else:
+            L = jnp.linalg.cholesky(Qr)
+            iQ = jax.scipy.linalg.cho_solve((L, True), rhs)
         iQwx = iQ[:, : A.shape[0]]
         iqw = iQ[:, A.shape[0]]
         iBt = iQ[:, A.shape[0] + 1:]
-        F = A - B @ iQwx
-        C = B @ iBt
-        X = Qxx - Qwx.T @ iQwx
+        F = A - dot(B, iQwx)
+        C = dot(B, iBt)
+        X = Qxx - dot(Qwx.T, iQwx)
         X = 0.5 * (X + X.T)
-        c = d - B @ iqw
-        q = qx - Qwx.T @ iqw
+        c = d - dot(B, iqw[:, None])[:, 0]
+        q = qx - dot(Qwx.T, iqw[:, None])[:, 0]
         return F, C, X, c, q
 
     return jax.vmap(one)(lq.A, lq.B, lq.d, lq.Qxx, lq.Qww, lq.Qwx, lq.qx, lq.qw)
 
 
-def _combine(e2, e1, use_ns: bool = True):
+def _combine(e2, e1, use_ns: bool = True, mm: str = "mxu"):
     """Star product combine.  NOTE: with associative_scan(reverse=True) the
     operator receives (later, earlier) suffix pieces; e1 is the earlier
     (left) element, e2 the later (right) composite.
@@ -157,37 +161,42 @@ def _combine(e2, e1, use_ns: bool = True):
     factorization-free (7 parallel rounds for a 66-knot horizon)."""
     from ..ops.linalg import ns_inverse
 
+    dot = bsmm if mm == "vpu" else jnp.matmul
     F1, C1, X1, c1, q1 = e1
     F2, C2, X2, c2, q2 = e2
     n = F1.shape[-1]
     eye = jnp.eye(n, dtype=F1.dtype)
-    M = eye + C1 @ X2
+    M = eye + dot(C1, X2)
     if use_ns:
-        W = ns_inverse(M, iters=18, spd=False)
+        W = ns_inverse(M, iters=18, spd=False, mm=mm)
         # two refinement rounds (quadratic cleanup of the truncated iteration)
-        W = W + W @ (eye - M @ W)
-        W = W + W @ (eye - M @ W)
+        W = W + dot(W, eye - dot(M, W))
+        W = W + dot(W, eye - dot(M, W))
     else:
         W = jnp.linalg.solve(M, eye)
-    F2W = F2 @ W
-    F = F2W @ F1
-    C = C2 + F2W @ C1 @ F2.T
-    X2W = X2 @ W
-    X = X1 + F1.T @ X2W @ F1
+    F2W = dot(F2, W)
+    F = dot(F2W, F1)
+    C = C2 + dot(dot(F2W, C1), F2.T)
+    X2W = dot(X2, W)
+    X = X1 + dot(F1.T, dot(X2W, F1))
     X = 0.5 * (X + X.T)
-    c = c2 + F2W @ (c1 - C1 @ q2)
-    q = q1 + F1.T @ (W.T @ (q2 + X2 @ c1)[..., None])[..., 0]
+    c = c2 + dot(F2W, (c1 - dot(C1, q2[..., None])[..., 0])[..., None])[..., 0]
+    q = q1 + dot(F1.T, dot(W.T, (q2 + dot(X2, c1[..., None])[..., 0])[..., None]))[..., 0]
     return (F, C, X, c, q)
 
 
-def backward_associative(lq: StageLQ, S_term, s_term, reg: float):
+def backward_associative(lq: StageLQ, S_term, s_term, reg: float,
+                         mm: str = "mxu"):
     """Parallel-in-time Riccati via associative scan. Same outputs as
-    backward_scan (up to regularization-path differences)."""
+    backward_scan (up to regularization-path differences).  mm='vpu'
+    routes every product through ops.linalg.bsmm — at B=1 this made the
+    O(log N)-depth path WIN over the sequential scan for the first time
+    (2.91 vs 3.85 ms chained solve, docs/DESIGN.md round 5)."""
     N, nx = lq.A.shape[0], lq.A.shape[1]
     nu = lq.B.shape[2]
     dtype = lq.A.dtype
 
-    F, C, X, c, q = _stage_elements(lq, reg)
+    F, C, X, c, q = _stage_elements(lq, reg, mm=mm)
     # append the terminal element
     Fz = jnp.concatenate([F, jnp.zeros((1, nx, nx), dtype)])
     Cz = jnp.concatenate([C, jnp.zeros((1, nx, nx), dtype)])
@@ -196,8 +205,13 @@ def backward_associative(lq: StageLQ, S_term, s_term, reg: float):
     qz = jnp.concatenate([q, s_term[None]])
 
     def comb(a, b):
-        # reverse scan: a is the later suffix composite, b the earlier element
-        return jax.vmap(_combine)(a, b)
+        # reverse scan: a is the later suffix composite, b the earlier
+        # element.  The combine itself stays on the MXU regardless of mm:
+        # the B=1 A/B measured 2.91 ms (mxu combine) vs 3.61 (vpu combine)
+        # — the star products are (66, 22, 22) batched matmul chains deep
+        # inside a log-depth scan, where the broadcast form's extra
+        # reduction latency outweighs the padding saving.
+        return jax.vmap(lambda a_, b_: _combine(a_, b_, mm="mxu"))(a, b)
 
     Fs, Cs, Xs, cs, qs = jax.lax.associative_scan(
         comb, (Fz, Cz, Xz, cz, qz), reverse=True
@@ -207,14 +221,19 @@ def backward_associative(lq: StageLQ, S_term, s_term, reg: float):
     ss = qs
 
     # recover gains in parallel from S_{k+1}, s_{k+1}
+    dot = bsmm if mm == "vpu" else jnp.matmul
+
     def gains(A, B, d, Qww, Qwx, qw, S_next, s_next):
-        Sd = s_next + S_next @ d
-        Huu = Qww + B.T @ S_next @ B
+        SM = dot(S_next, jnp.concatenate([A, B, d[:, None]], axis=1))
+        SM = SM.at[:, -1].add(s_next)
+        H = dot(B.T, SM)
+        Huu = Qww + H[:, nx:nx + nu]
         shift = reg * (1.0 + jnp.trace(Huu) / nu)
         Huu = Huu + shift * jnp.eye(nu, dtype=dtype)
-        Hux = Qwx + B.T @ S_next @ A
-        hu = qw + B.T @ Sd
-        Kk = -spd_solve(Huu, jnp.concatenate([Hux, hu[:, None]], axis=1))
+        Hux = Qwx + H[:, :nx]
+        hu = qw + H[:, -1]
+        Kk = -spd_solve(Huu, jnp.concatenate([Hux, hu[:, None]], axis=1),
+                        mm=mm)
         return Kk[:, :nx], Kk[:, nx]
 
     Ks, kffs = jax.vmap(gains)(
@@ -223,16 +242,18 @@ def backward_associative(lq: StageLQ, S_term, s_term, reg: float):
     return Ks, kffs, Ss[1:], ss[1:]
 
 
-def forward_associative(A_cl, b_cl, dx0):
+def forward_associative(A_cl, b_cl, dx0, mm: str = "mxu"):
     """Parallel-in-time linear rollout: dx_{k+1} = A_cl[k] dx_k + b_cl[k]
     via associative composition of affine maps (O(log N) depth).
 
     Returns dxs (N+1, nx) including dx0."""
+    dot = bsmm if mm == "vpu" else jnp.matmul
+
     def combine(e1, e2):
         # e1 earlier, e2 later (forward scan order)
         M1, v1 = e1
         M2, v2 = e2
-        return (M2 @ M1, M2 @ v1 + v2)
+        return (dot(M2, M1), dot(M2, v1[..., None])[..., 0] + v2)
 
     Ms, vs = jax.lax.associative_scan(
         lambda a, b: jax.vmap(combine)(a, b), (A_cl, b_cl)

@@ -309,7 +309,7 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
         s_term = jnp.zeros(nx, xs.dtype)
         if settings.riccati_parallel:
             Ks, kffs, _, _ = riccati.backward_associative(
-                lq, S_term, s_term, settings.hess_reg
+                lq, S_term, s_term, settings.hess_reg, mm=settings.small_mm
             )
         else:
             Ks, kffs, _, _ = riccati.backward_scan(
@@ -328,7 +328,8 @@ def solve(model: RobotModel, settings: SqpSettings, params: ocp.OcpParams,
             # closed-loop affine maps, composed in O(log N) depth
             A_cl = A_t + jnp.einsum("kij,kjl->kil", B_t, Ks)
             b_cl = d_t + jnp.einsum("kij,kj->ki", B_t, kffs)
-            dxs_full = riccati.forward_associative(A_cl, b_cl, dx0)
+            dxs_full = riccati.forward_associative(A_cl, b_cl, dx0,
+                                                   mm=settings.small_mm)
             ws = jnp.einsum("kij,kj->ki", Ks, dxs_full[:-1]) + kffs
             dus = e0 + jnp.einsum("kij,kj->ki", E, dxs_full[:-1]) + jnp.einsum(
                 "kij,kj->ki", P, ws

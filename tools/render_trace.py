@@ -55,6 +55,11 @@ def render(trace_path: str, out_path: str, fps: int = 30, size=(640, 480),
     opt = mujoco.MjvOption()
     opt.flags[mujoco.mjtVisFlag.mjVIS_CONTACTPOINT] = True
     opt.flags[mujoco.mjtVisFlag.mjVIS_CONTACTFORCE] = True
+    # hunter.xml places the body's primitive geoms in collision group 3
+    # (its visual meshes are stripped by the loader) — show them
+    opt.geomgroup[3] = 1
+    model.vis.headlight.ambient[:] = [0.45, 0.45, 0.45]
+    model.vis.headlight.diffuse[:] = [0.8, 0.8, 0.8]
     model.vis.scale.contactwidth = 0.04
     model.vis.scale.contactheight = 0.01
     model.vis.map.force = 0.01
