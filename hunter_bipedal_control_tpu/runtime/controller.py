@@ -35,6 +35,15 @@ class GainConfig(NamedTuple):
     kp_small_swing: jnp.ndarray   # 20
     kd_small: jnp.ndarray       # 2
     kd_feet: jnp.ndarray        # 0.01
+    # Ankle (feet) kp, split from the small group (round 5).  The
+    # reference's LeggedController shares the small-joint kp with the
+    # ankles; -1.0 keeps that parity coupling (feet follow
+    # kp_small_stance/swing).  Setting explicit values decouples them —
+    # needed because the yaw envelope wants hip-yaw stance kp ~90 (full
+    # 1.5 rad/s joystick scale) while ankle stance kp 90 overdrives
+    # sagittal tracking by ~35% (docs/DESIGN.md round-5 yaw section).
+    kp_feet_stance: jnp.ndarray = -1.0
+    kp_feet_swing: jnp.ndarray = -1.0
 
 
 def default_gains(dtype=jnp.float32) -> GainConfig:
@@ -48,6 +57,8 @@ def default_gains(dtype=jnp.float32) -> GainConfig:
         kp_small_swing=jnp.asarray(20.0, dtype),
         kd_small=jnp.asarray(2.0, dtype),
         kd_feet=jnp.asarray(0.01, dtype),
+        kp_feet_stance=jnp.asarray(-1.0, dtype),
+        kp_feet_swing=jnp.asarray(-1.0, dtype),
     )
 
 
@@ -62,6 +73,9 @@ GAIN_LIMITS = {
     "kp_small_swing": (0.0, 100.0),
     "kd_small": (0.0, 20.0),
     "kd_feet": (0.0, 20.0),
+    # -1 = follow the small-group kp (reference coupling); see GainConfig
+    "kp_feet_stance": (-1.0, 100.0),
+    "kp_feet_swing": (-1.0, 100.0),
 }
 
 
@@ -190,10 +204,14 @@ def control_tick(model: RobotModel, wbc_params: WbcParams, gains: GainConfig,
     leg_stance = jnp.concatenate(
         [jnp.repeat(contact_flags[0], 5), jnp.repeat(contact_flags[1], 5)]
     )
+    kp_fs = jnp.where(gains.kp_feet_stance < 0.0, gains.kp_small_stance,
+                      gains.kp_feet_stance)
+    kp_fw = jnp.where(gains.kp_feet_swing < 0.0, gains.kp_small_swing,
+                      gains.kp_feet_swing)
     kp = (
         _SMALL * jnp.where(leg_stance > 0.5, gains.kp_small_stance, gains.kp_small_swing)
         + _BIG * jnp.where(leg_stance > 0.5, gains.kp_big_stance, gains.kp_big_swing)
-        + _FEET * jnp.where(leg_stance > 0.5, gains.kp_small_stance, gains.kp_small_swing)
+        + _FEET * jnp.where(leg_stance > 0.5, kp_fs, kp_fw)
     )
     kd = _SMALL * gains.kd_small + _BIG * gains.kd_big + _FEET * gains.kd_feet
 
