@@ -107,8 +107,20 @@ class MjClosedLoop:
         # foot pitch toe-down and scuff; measured ±0.35 m/s tracking with
         # this value vs a 20% backward deficit without (docs/DESIGN.md
         # round-4 execution-layer fix).
+        # Round-5 additions to the per-backend defaults: hip stance kp 75
+        # with the ankle (feet) kp decoupled at the Tutorials.cfg values —
+        # the shared-gain coupling capped closed-loop yaw at ~53% of
+        # command (hip-yaw authority), and 75 is the measured robust point:
+        # yaw 0.5 -> 0.376, 1.5 -> 1.204, combined walk+turn
+        # (0.3 m/s + 0.5 rad/s) -> 0.52 rad/s at 0.284 m/s body-forward,
+        # straight-line +-0.35/+-0.45 bands unchanged (docs/DESIGN.md
+        # round-5 yaw section; kp 90 reaches the full 1.5 rad/s joystick
+        # scale on pure yaw but trips the e-stop on combined commands).
         from .controller import reconfigure_gains
-        self.gains = (reconfigure_gains(default_gains(), kd_feet=4.0)
+        self.gains = (reconfigure_gains(default_gains(), kd_feet=4.0,
+                                        kp_small_stance=75.0,
+                                        kp_feet_stance=30.0,
+                                        kp_feet_swing=20.0)
                       if gains is None else gains)
         self.cmd_cfg = tg.default_cmd_vel_config() if cmd_cfg is None \
             else cmd_cfg

@@ -62,11 +62,14 @@ def test_stance_traces_agree(hunter_model_f32):
     z_fo_s, z_mj_s = z_fo[-30:].mean(), z_mj[-150:].mean()
     fz_fo_s, fz_mj_s = fz_fo[-30:].mean(), fz_mj[-150:].mean()
     # documented bands (docs/DESIGN.md "Cross-engine calibration"):
-    # measured z_fo=0.620, z_mj=0.6495 — a ~3 cm TRUE-height offset fully
-    # explained by contact geometry (point contacts at the toe/heel frame
-    # origins + ~6 mm spring penetration vs MuJoCo's sole-box surface);
-    # both controllers regulate their own estimate to the same command.
-    assert abs(z_fo_s - z_mj_s) < 0.035          # geometry-explained band
+    # round-5 sole-drop geometry (SimParams.sole_drop: the sole-box bottom
+    # sits 1.19 cm below the toe/heel frames in hunter.xml) closed the
+    # round-2 ~3 cm split to 1.55-1.69 cm (z_fo=0.632, z_mj=0.649).  The
+    # remainder is CONTROLLER-EQUILIBRIUM posture, not contact modeling:
+    # tripling the contact stiffness moves it only 1.4 mm (static
+    # penetration is ~1.5 mm at 31 N/point), and each engine's stance
+    # override settles its own joint posture.  Band tightened 0.035->0.02.
+    assert abs(z_fo_s - z_mj_s) < 0.02           # geometry-explained band
     np.testing.assert_allclose(fz_fo_s, WEIGHT, rtol=0.10)
     np.testing.assert_allclose(fz_mj_s, WEIGHT, rtol=0.10)
     assert np.abs(q_fo[-30:, 3:5]).max() < 0.05  # both level
