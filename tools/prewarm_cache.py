@@ -72,11 +72,17 @@ def main():
         step(f"  sweep prewarm skipped ({e!r})")
 
     step("multichip dryrun (full training-step sharding)")
-    try:
-        import __graft_entry__
-        __graft_entry__.dryrun_multichip(8)
-    except Exception as e:
-        step(f"  dryrun skipped ({e!r})")
+    # needs virtual devices BEFORE jax init:
+    #   XLA_FLAGS=--xla_force_host_platform_device_count=8
+    if len(jax.devices()) >= 8:
+        try:
+            import __graft_entry__
+            __graft_entry__.dryrun_multichip(8)
+        except Exception as e:
+            step(f"  dryrun skipped ({e!r})")
+    else:
+        step("  skipped (launch with XLA_FLAGS="
+             "--xla_force_host_platform_device_count=8 to include it)")
 
     step("done")
 
