@@ -34,7 +34,7 @@ def probe(vx, dur=8.0, ramp_via=None, **kw):
     vxm = telem["v"][tail, 0].mean()
     print(f"cmd {vx:+.2f}: tail_vx {vxm:+.3f} err {vxm - vx:+.3f} "
           f"estop={int(bool(loop.estop))} min_z={telem['base_z'].min():.3f} "
-          f"yaw_drift={telem['q'][-1, 5]:+.3f}", flush=True)
+          f"yaw_drift={telem['q'][-1, 3]:+.3f}", flush=True)
     return loop, telem
 
 
