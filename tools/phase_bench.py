@@ -69,10 +69,22 @@ def timeit_chain(name, step, carry0):
         c, outs = jax.lax.scan(body, c, None, length=K)
         return outs.sum()
 
+    # vary the input per repetition: the axon tunnel has been observed to
+    # serve a stale future for REPEATED identical (executable, buffer)
+    # calls (measures ~0.01 ms/step, physically impossible through a
+    # ~25 ms-dispatch tunnel) — a fresh leading leaf per rep defeats it
+    def perturbed(i):
+        leaves, treedef = jax.tree.flatten(carry0)
+        leaves = [leaves[0] + jnp.asarray(1e-9 * (i + 1), leaves[0].dtype)] \
+            + leaves[1:]
+        return jax.tree.unflatten(treedef, leaves)
+
     jax.block_until_ready(run(carry0))
+    inputs = [perturbed(i) for i in range(REPS)]
+    jax.block_until_ready(inputs)
     t0 = time.perf_counter()
-    for _ in range(REPS):
-        jax.block_until_ready(run(carry0))
+    for c in inputs:
+        jax.block_until_ready(run(c))
     ms = (time.perf_counter() - t0) / (REPS * K) * 1e3
     print(json.dumps({"phase": name, "ms_per_batch": round(ms, 2),
                       "B": B, "chain": K}), flush=True)
